@@ -1,0 +1,111 @@
+"""Tiered continuous-aggregate rollup (reference A1: ``change_granularity``,
+``modules/preprocessing.py:23-44`` — ``df.resample(g).mean()`` — recast as
+``groupBy(conv_id, date_trunc(tier, ts))``).
+
+The rollup carries *exactly re-aggregatable* partials ``(cnt, sum, min,
+max)`` per feature, so coarser tiers (1m→1h→1d) are computed by
+re-aggregating the finer tier — never rescanning raw turns.  ``avg`` is
+derived as ``sum/cnt`` at every tier, which makes the cascade identity
+``rollup_1h == cascade(rollup_1m)`` hold bit-for-bit (sum re-aggregation
+order is the only float hazard; counts and mins/maxes are exact).
+
+``latency_p95`` is tier-local: exact ``percentile`` over raw latencies at
+the finest tier, and over the finer tier's bucket averages at coarser
+tiers (documented downsample semantic — percentiles are not mergeable
+without a sketch; a t-digest column is the upgrade path).
+
+Scale notes:
+  * The groupBy shuffles on ``(conv_id, bucket)`` — high cardinality, no
+    skew risk even for hot conversations because the bucket splits them.
+  * Partial (map-side) aggregation applies to every agg here; the shuffle
+    carries one row per (conv, bucket) per map task, not per turn.
+  * Never reads ``text`` — column pruning keeps the scan to
+    (conv_id, tool, ts [, latency]); verified via ``.explain`` ReadSchema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+# cascade order; retention horizons are configured per deployment
+TIER_ORDER = ["1m", "1h", "1d"]
+
+FEATURES = ["latency"]  # numeric per-turn features rolled up
+
+
+def turn_features(df: DataFrame, latency_col: str | None = None) -> DataFrame:
+    """Derive per-turn features from raw transcript rows.
+
+    inter-turn latency = ``ts - lag(ts)`` seconds within a conversation in
+    stable ``turn_idx`` order (reference W6 family, lag/lead edges
+    ``modules/preprocessing.py:259-265``); tool-call indicator from the
+    nullable ``tool`` column.  Raw ``text`` passes through untouched
+    (per-turn text-equality invariant).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    if latency_col and latency_col in df.columns:
+        lat = F.col(latency_col)
+    else:
+        lat = (
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        )
+    return df.withColumn("latency", lat).withColumn(
+        "is_tool", F.col("tool").isNotNull().cast("int")
+    )
+
+
+def rollup_from_raw(turns: DataFrame, tier: str = "1m") -> DataFrame:
+    """Finest-tier rollup straight from per-turn rows."""
+    unit = TIERS[tier]
+    return (
+        turns.groupBy(
+            "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("turn_cnt"),
+            F.sum("is_tool").alias("tool_call_cnt"),
+            F.sum("latency").alias("latency_sum"),
+            F.count("latency").alias("latency_cnt"),
+            F.min("latency").alias("latency_min"),
+            F.max("latency").alias("latency_max"),
+            F.expr("percentile(latency, 0.95)").alias("latency_p95"),
+        )
+        .withColumn("latency_avg", F.col("latency_sum") / F.col("latency_cnt"))
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def cascade(finer: DataFrame, to_tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (no raw-turn rescan).
+
+    Exact for cnt/sum/min/max (and therefore avg = sum/cnt); p95 is the
+    percentile of the finer tier's bucket averages (see module docstring).
+    """
+    unit = TIERS[to_tier]
+    return (
+        finer.groupBy(
+            "conv_id",
+            F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
+        )
+        .agg(
+            F.sum("turn_cnt").alias("turn_cnt"),
+            F.sum("tool_call_cnt").alias("tool_call_cnt"),
+            F.sum("latency_sum").alias("latency_sum"),
+            F.sum("latency_cnt").alias("latency_cnt"),
+            F.min("latency_min").alias("latency_min"),
+            F.max("latency_max").alias("latency_max"),
+            F.expr("percentile(latency_avg, 0.95)").alias("latency_p95"),
+        )
+        .withColumn("latency_avg", F.col("latency_sum") / F.col("latency_cnt"))
+        .withColumn("tier", F.lit(to_tier))
+    )
+
+
+def retention_filter(tier_df: DataFrame, keep_after: str) -> DataFrame:
+    """Retention = drop buckets older than the tier horizon.  On Iceberg
+    this is a metadata-only partition drop (``DELETE WHERE bucket_start <
+    horizon`` + snapshot expiry); on the Parquet fallback it's a partition-
+    pruned overwrite."""
+    return tier_df.filter(F.col("bucket_start") >= F.lit(keep_after).cast("timestamp"))

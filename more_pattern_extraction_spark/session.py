@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing uses ``local[N]`` threads; the same configs are the ones
+we'd ship in ``spark-defaults.conf`` on a 1000-executor cluster — AQE on,
+Arrow on, shuffle partitions sized to the cluster (here: cores), UTC
+session timezone so timestamps compare bit-for-bit against the DuckDB
+oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mpe_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard configs.
+
+    ``cores=None`` → ``local[*]``.  On a real cluster this function is not
+    used — ``spark-submit --py-files mpe.zip job.py`` supplies the session —
+    but every config below is cluster-safe.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or cores or (os.cpu_count() or 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # match parallelism to cores locally; on a cluster this would be
+        # ~2-3x total executor cores (AQE coalesces the excess).
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pandas UDF batches: big enough to amortize Arrow transfer, small
+        # enough to bound executor-python memory at 100 TB scale.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("MPE_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

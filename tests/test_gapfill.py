@@ -1,0 +1,115 @@
+"""Gap-fill parity vs pandas interpolate(method='linear', limit=k,
+limit_direction='both') — the reference's chunk_interpolate semantics
+(modules/preprocessing.py:185-208)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from more_pattern_extraction_spark.operators import gapfill as G
+from more_pattern_extraction_spark.operators import rollup as R
+
+
+@pytest.mark.parametrize("limit", [1, 2])
+def test_interpolate_matches_pandas(spark, limit):
+    vals = [1.0, None, None, None, 5.0, None, 7.0, None, None,
+            None, None, 3.0, None, 5.0, 2.0, None]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * len(vals),
+            "bucket_start": pd.date_range("2024-01-01", periods=len(vals), freq="1min"),
+            "x": vals,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        G.interpolate(df, ["x"], limit=limit)
+        .orderBy("bucket_start")
+        .toPandas()["x_filled"]
+        .values
+    )
+    exp = (
+        pd.Series(vals, dtype="float64")
+        .interpolate(method="linear", limit=limit, limit_direction="both")
+        .values
+    )
+    np.testing.assert_allclose(got.astype(float), exp, equal_nan=True)
+
+
+def test_interpolate_multi_conv_leading_trailing(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 5 + ["b"] * 4,
+            "bucket_start": list(pd.date_range("2024-01-01", periods=5, freq="1min"))
+            + list(pd.date_range("2024-01-01", periods=4, freq="1min")),
+            "x": [None, None, 3.0, None, None, 1.0, None, None, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        G.interpolate(df, ["x"], limit=1)
+        .orderBy("conv_id", "bucket_start")
+        .toPandas()
+    )
+    for cid in ["a", "b"]:
+        sub = got[got.conv_id == cid]["x_filled"].values.astype(float)
+        exp = (
+            pdf[pdf.conv_id == cid]["x"]
+            .astype("float64")
+            .interpolate(method="linear", limit=1, limit_direction="both")
+            .values
+        )
+        np.testing.assert_allclose(sub, exp, equal_nan=True)
+
+
+def test_densify_creates_missing_buckets(spark, transcripts):
+    r1m = R.rollup_from_raw(R.turn_features(transcripts), "1m")
+    dense = G.densify(r1m, "1m")
+    n_rollup = r1m.count()
+    n_dense = dense.count()
+    assert n_dense > n_rollup  # generator guarantees missing buckets
+    assert dense.filter("is_gap").count() == n_dense - n_rollup
+    # spine is truly dense: per conv, count == (max-min)/60 + 1
+    import pyspark.sql.functions as F
+
+    chk = dense.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        ((F.max("bucket_start").cast("long") - F.min("bucket_start").cast("long")) / 60 + 1).alias("expected"),
+    )
+    assert chk.filter("n != expected").count() == 0
+
+
+def test_locf(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 5,
+            "bucket_start": pd.date_range("2024-01-01", periods=5, freq="1min"),
+            "x": [None, 2.0, None, None, 5.0],
+        }
+    )
+    got = (
+        G.locf(spark.createDataFrame(pdf), ["x"])
+        .orderBy("bucket_start")
+        .toPandas()["x_locf"]
+        .values.astype(float)
+    )
+    np.testing.assert_allclose(got, [np.nan, 2.0, 2.0, 2.0, 5.0], equal_nan=True)
+
+
+def test_gap_fill_monotone(spark, transcripts):
+    """A second interpolation pass only extends fills (deeper into long
+    gaps, mirroring pandas re-apply) — it never changes a value that the
+    first pass produced (SURVEY §5.2, adapted: limit-based interp is not
+    idempotent, in pandas or here; it is monotone)."""
+    r1m = R.rollup_from_raw(R.turn_features(transcripts), "1m")
+    once = G.gap_fill_rollup(r1m, "1m").select(
+        "conv_id", "bucket_start", "latency_avg_filled"
+    )
+    again = G.interpolate(
+        once.withColumnRenamed("latency_avg_filled", "latency_avg"), ["latency_avg"], 1
+    ).select("conv_id", "bucket_start", "latency_avg_filled")
+    a = once.orderBy("conv_id", "bucket_start").toPandas()["latency_avg_filled"].values.astype(float)
+    b = again.orderBy("conv_id", "bucket_start").toPandas()["latency_avg_filled"].values.astype(float)
+    mask = ~np.isnan(a)
+    np.testing.assert_allclose(a[mask], b[mask])
+    assert (~np.isnan(b)).sum() >= mask.sum()

@@ -1,0 +1,82 @@
+"""Rollup correctness vs a single-node pandas oracle that mirrors the
+reference semantics (resample().mean(), modules/preprocessing.py:39) and
+the cascade re-aggregation identity (FIXTURES.md §3)."""
+
+import numpy as np
+import pandas as pd
+
+from more_pattern_extraction_spark.operators import rollup as R
+
+
+def _oracle_rollup(pdf: pd.DataFrame, freq: str) -> pd.DataFrame:
+    pdf = pdf.sort_values(["conv_id", "turn_idx"])
+    pdf["latency"] = pdf.groupby("conv_id")["ts"].transform(
+        lambda s: s.astype("int64") / 1e9 - (s.astype("int64") / 1e9).shift()
+    )
+    pdf["is_tool"] = pdf["tool"].notna().astype("int64")
+    g = pdf.groupby(["conv_id", pdf["ts"].dt.floor(freq)])
+    out = g.agg(
+        turn_cnt=("turn_idx", "size"),
+        tool_call_cnt=("is_tool", "sum"),
+        latency_sum=("latency", "sum"),
+        latency_cnt=("latency", "count"),
+        latency_min=("latency", "min"),
+        latency_max=("latency", "max"),
+    ).reset_index().rename(columns={"ts": "bucket_start"})
+    out.loc[out.latency_cnt == 0, "latency_sum"] = np.nan
+    out["latency_avg"] = out["latency_sum"] / out["latency_cnt"]
+    return out.sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+
+
+def test_rollup_1m_matches_pandas_oracle(spark, transcripts):
+    got = (
+        R.rollup_from_raw(R.turn_features(transcripts), "1m")
+        .orderBy("conv_id", "bucket_start")
+        .toPandas()
+    )
+    exp = _oracle_rollup(transcripts.toPandas(), "1min")
+    assert len(got) == len(exp)
+    assert (got["conv_id"].values == exp["conv_id"].values).all()
+    assert (got["bucket_start"].values == exp["bucket_start"].values).all()
+    for c in ["turn_cnt", "tool_call_cnt", "latency_cnt"]:
+        assert (got[c].values == exp[c].values).all(), c
+    for c in ["latency_sum", "latency_min", "latency_max", "latency_avg"]:
+        np.testing.assert_allclose(got[c].values, exp[c].values, rtol=0, atol=1e-9)
+
+
+def test_cascade_identity(spark, transcripts):
+    """rollup_1h == cascade(rollup_1m); rollup_1d == cascade(rollup_1h)
+    on the exactly re-aggregatable columns — bit-for-bit (FIXTURES.md §3)."""
+    t = R.turn_features(transcripts)
+    r1m = R.rollup_from_raw(t, "1m")
+    cols = ["conv_id", "bucket_start", "turn_cnt", "tool_call_cnt",
+            "latency_cnt", "latency_min", "latency_max"]
+    for to_tier, direct in [("1h", R.rollup_from_raw(t, "1h")),
+                            ("1d", R.rollup_from_raw(t, "1d"))]:
+        casc = R.cascade(r1m, to_tier)
+        a = casc.select(cols).orderBy("conv_id", "bucket_start").toPandas()
+        b = direct.select(cols).orderBy("conv_id", "bucket_start").toPandas()
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        # sums/avgs to float tolerance (summation order differs)
+        sa = casc.select("conv_id", "bucket_start", "latency_sum", "latency_avg").orderBy(
+            "conv_id", "bucket_start").toPandas()
+        sb = direct.select("conv_id", "bucket_start", "latency_sum", "latency_avg").orderBy(
+            "conv_id", "bucket_start").toPandas()
+        np.testing.assert_allclose(sa["latency_sum"], sb["latency_sum"], rtol=1e-12)
+        np.testing.assert_allclose(sa["latency_avg"], sb["latency_avg"], rtol=1e-12)
+
+
+def test_text_never_perturbed(spark, transcripts):
+    """Per-row invariant (BASELINE.json input_hint): the engine never
+    transforms raw transcript rows — verify text equality under stable
+    (conv_id, turn_idx) ordering via hash comparison."""
+    t = R.turn_features(transcripts)  # feature derivation keeps raw cols
+    a = transcripts.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").toPandas()
+    b = t.select("conv_id", "turn_idx", "text").orderBy("conv_id", "turn_idx").toPandas()
+    assert (a["text"].values == b["text"].values).all()
+
+
+def test_retention_filter(spark, transcripts):
+    r = R.rollup_from_raw(R.turn_features(transcripts), "1d")
+    kept = R.retention_filter(r, "2024-01-02 00:00:00")
+    assert kept.filter("bucket_start < timestamp '2024-01-02 00:00:00'").count() == 0
