@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship gap-filled 1-minute rollup on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2, registered in more_pattern_extraction_spark.plans.entry.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from more_pattern_extraction_spark.plans import entry as _entry  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: events→transcript adapter,
+    1-minute tier rollup, dense-spine gap-fill (LOCF + linear interp)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import functions as F
+
+    from more_pattern_extraction_spark.operators import gapfill as G
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("ts") < "2024-01-04"  # bound the dense spine; driver collects
+    )
+    r1m = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("minute", "ts").alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("tool_call_cnt"),
+        F.sum("value").alias("latency_sum"),
+        F.count("value").alias("latency_cnt"),
+        F.avg("value").alias("latency_avg"),
+    )
+    return G.gap_fill_rollup(r1m, "1m")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_entry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_entry.ORACLES)

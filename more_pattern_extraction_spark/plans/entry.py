@@ -1,0 +1,879 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage → __spark_entry__).
+
+Every implemented operator gets a ``queries()`` entry (Spark DataFrame
+callable over ``/root/testdata/sf*``) and, where ANSI-SQL-expressible, a
+DuckDB ``oracle_sql()`` string computing the same result with identical
+column names/aliases.  The driver compares row count + schema + order-
+insensitive value hash at sf0.01 — so:
+
+  * every float output is ``round(x, 6)`` on BOTH sides (summation order
+    differs between engines at the last ulp);
+  * every window order has a deterministic tie-break (``ts, event_id``);
+  * population/sample variance choice mirrors the reference
+    (``np.var`` ddof=0 → ``var_pop`` for the dispersion index).
+
+The ``events`` table stands in for transcripts (FIXTURES.md §6):
+``user_id``→conv key, ``event_type``→role, ``value``→per-turn latency.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_W_TS = lambda: Window.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# A1 — tiered rollup (reference change_granularity, preprocessing.py:23-44)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_AGGS_SQL = """
+  count(*) AS turn_cnt,
+  count(*) FILTER (event_type = 'click') AS tool_call_cnt,
+  round(sum(value), 6) AS latency_sum,
+  count(value) AS latency_cnt,
+  round(min(value), 6) AS latency_min,
+  round(max(value), 6) AS latency_max,
+  round(sum(value) / count(value), 6) AS latency_avg
+"""
+
+
+def _rollup_aggs():
+    return [
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("tool_call_cnt"),
+        F.round(F.sum("value"), 6).alias("latency_sum"),
+        F.count("value").alias("latency_cnt"),
+        F.round(F.min("value"), 6).alias("latency_min"),
+        F.round(F.max("value"), 6).alias("latency_max"),
+        F.round(F.sum("value") / F.count("value"), 6).alias("latency_avg"),
+    ]
+
+
+@register(
+    "rollup_1m",
+    f"""
+    SELECT user_id AS conv_key, date_trunc('minute', ts) AS bucket_start,
+           {_ROLLUP_AGGS_SQL}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1m(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_key"),
+            F.date_trunc("minute", "ts").alias("bucket_start"),
+        )
+        .agg(*_rollup_aggs())
+    )
+
+
+def _cascade_tier(spark, sf_dir, unit: str) -> DataFrame:
+    """1m tier re-aggregated to a coarser tier — the oracle computes the
+    coarse tier directly from raw rows, so this doubles as the cascade-
+    identity check (FIXTURES.md §3) under the driver's value hash."""
+    from more_pattern_extraction_spark.operators.rollup import cascade  # noqa: F401
+
+    fine = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_key"),
+            F.date_trunc("minute", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("turn_cnt"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("tool_call_cnt"),
+            F.sum("value").alias("latency_sum"),
+            F.count("value").alias("latency_cnt"),
+            F.min("value").alias("latency_min"),
+            F.max("value").alias("latency_max"),
+        )
+    )
+    return (
+        fine.groupBy(
+            "conv_key", F.date_trunc(unit, "bucket_start").alias("bucket_start")
+        )
+        .agg(
+            F.sum("turn_cnt").alias("turn_cnt"),
+            F.sum("tool_call_cnt").alias("tool_call_cnt"),
+            F.round(F.sum("latency_sum"), 6).alias("latency_sum"),
+            F.sum("latency_cnt").alias("latency_cnt"),
+            F.round(F.min("latency_min"), 6).alias("latency_min"),
+            F.round(F.max("latency_max"), 6).alias("latency_max"),
+            F.round(F.sum("latency_sum") / F.sum("latency_cnt"), 6).alias("latency_avg"),
+        )
+    )
+
+
+@register(
+    "rollup_1h_cascade",
+    f"""
+    SELECT user_id AS conv_key, date_trunc('hour', ts) AS bucket_start,
+           {_ROLLUP_AGGS_SQL}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1h_cascade(spark, sf_dir):
+    return _cascade_tier(spark, sf_dir, "hour")
+
+
+@register(
+    "rollup_1d_cascade",
+    f"""
+    SELECT user_id AS conv_key, date_trunc('day', ts) AS bucket_start,
+           {_ROLLUP_AGGS_SQL}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_cascade(spark, sf_dir):
+    return _cascade_tier(spark, sf_dir, "day")
+
+
+@register(
+    "rollup_p95",
+    """
+    SELECT user_id AS conv_key, date_trunc('hour', ts) AS bucket_start,
+           round(quantile_cont(value, 0.95), 6) AS latency_p95,
+           round(quantile_cont(value * value * value, 0.5), 1) AS mce_median
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_p95(spark, sf_dir):
+    """Exact percentile rollup (A11) + the reference's my_mce segment score
+    (median of cubed residuals, estimator_util.py:52-53 → A10)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("conv_key"),
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+        )
+        .agg(
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("latency_p95"),
+            F.round(F.expr("percentile(value * value * value, 0.5)"), 1).alias("mce_median"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2-P7 — filters/projections (preprocessing.py:46-168)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_range",
+    "SELECT event_id, user_id, value FROM events WHERE value >= 50 AND value <= 400",
+)
+def filter_range(spark, sf_dir):
+    """P2 filter_col (preprocessing.py:46-64): range predicate, pushed to
+    the parquet scan by Catalyst."""
+    return (
+        _events(spark, sf_dir)
+        .filter((F.col("value") >= 50) & (F.col("value") <= 400))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "filter_dates",
+    """SELECT event_id, ts FROM events
+       WHERE ts >= timestamp '2024-01-10 00:00:00' AND ts <= timestamp '2024-01-20 00:00:00'""",
+)
+def filter_dates(spark, sf_dir):
+    """P3 filter_dates (preprocessing.py:67-81) → ts-partition pruning."""
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00"))
+        .select("event_id", "ts")
+    )
+
+
+@register(
+    "between_time",
+    "SELECT event_id, ts, value FROM events WHERE hour(ts) BETWEEN 11 AND 15",
+)
+def between_time(spark, sf_dir):
+    """P4 intraday band filter (changepoint_detection.ipynb cell 6)."""
+    return (
+        _events(spark, sf_dir)
+        .filter(F.hour("ts").between(11, 15))
+        .select("event_id", "ts", "value")
+    )
+
+
+@register(
+    "filter_reltol",
+    """SELECT event_id,
+              CASE WHEN abs(value - 150.0) < 150.0 * 0.5 THEN value END AS value_masked
+       FROM events""",
+)
+def filter_reltol(spark, sf_dir):
+    """P5 filter_df (preprocessing.py:147-168): relative-tolerance mask —
+    failing rows become NULL, not dropped."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.abs(F.col("value") - 150.0) < 150.0 * 0.5, F.col("value")).alias(
+            "value_masked"
+        ),
+    )
+
+
+@register(
+    "distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events WHERE value IS NOT NULL",
+)
+def distinct_pairs(spark, sf_dir):
+    """P6 dropna + drop_duplicates (deviation_detection.ipynb cell 4)."""
+    return (
+        _events(spark, sf_dir)
+        .na.drop(subset=["value"])
+        .select("user_id", "event_type")
+        .dropDuplicates()
+    )
+
+
+@register(
+    "iqr_outlier_filter",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value >= q.q1 - 1.5 * (q.q3 - q.q1)
+      AND e.value <= q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def iqr_outlier_filter(spark, sf_dir):
+    """P7 IQR outlier filter (underperformance_detection.ipynb cell 3):
+    exact quartiles per group, broadcast back — one shuffle + broadcast
+    join, no crossJoin."""
+    ev = _events(spark, sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter(
+            (F.col("value") >= F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            & (F.col("value") <= F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .select("event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — scaling + dispersion (preprocessing.py:83-103, 211-250)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minmax_scale",
+    """
+    SELECT event_id,
+           CASE WHEN max(value) OVER w > min(value) OVER w
+                THEN round((value - min(value) OVER w)
+                           / (max(value) OVER w - min(value) OVER w), 6)
+           END AS value_scaled
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def minmax_scale(spark, sf_dir):
+    """A2 scale_df / normalize (preprocessing.py:83-103, 239-250): per-
+    conversation min-max to [0,1] via an unordered partition window (one
+    shuffle, no join)."""
+    w = Window.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.when(mx > mn, F.round((F.col("value") - mn) / (mx - mn), 6)).alias(
+            "value_scaled"
+        ),
+    )
+
+
+@register(
+    "dispersion_stable",
+    """
+    WITH d AS (
+      SELECT event_id,
+             var_pop(value) OVER w / avg(value) OVER w AS disp,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, round(disp, 6) AS dispersion, disp < 0.5 AS is_stable
+    FROM d WHERE n = 10
+    """,
+)
+def dispersion_stable(spark, sf_dir):
+    """A3 is_stable/filter_dispersed (preprocessing.py:211-237): windowed
+    index of dispersion (population var / mean, matching np.var ddof=0)."""
+    w = _W_TS().rowsBetween(-9, 0)
+    d = _events(spark, sf_dir).select(
+        "event_id",
+        (F.var_pop("value").over(w) / F.avg("value").over(w)).alias("disp"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return d.filter(F.col("n") == 10).select(
+        "event_id",
+        F.round("disp", 6).alias("dispersion"),
+        (F.col("disp") < 0.5).alias("is_stable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4/W5/W6/W8 — rolling windows, closed-form slope, edges, peaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_mean",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 6)
+           AS roll_mean
+    FROM events
+    """,
+)
+def rolling_mean(spark, sf_dir):
+    """W4 rolling mean (changepoint_detection.ipynb cell 9 et al.)."""
+    w = _W_TS().rowsBetween(-5, 0)
+    return _events(spark, sf_dir).select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("roll_mean")
+    )
+
+
+@register(
+    "rolling_slope",
+    """
+    WITH x AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS pos
+      FROM events
+    ), s AS (
+      SELECT event_id,
+             count(*) OVER w AS n,
+             avg(pos * value) OVER w AS axy,
+             avg(pos) OVER w AS ax,
+             avg(value) OVER w AS ay,
+             avg(pos * pos) OVER w AS axx
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           CASE WHEN n >= 2 THEN round((axy - ax * ay) / (axx - ax * ax), 6) END AS slope
+    FROM s
+    """,
+)
+def rolling_slope(spark, sf_dir):
+    """W5 rolling OLS slope (estimator_util.py:12-21, learning.py:76-96) in
+    closed form — pure window aggregates, no UDF: slope =
+    (E[xy]-E[x]E[y]) / (E[x²]-E[x]²) with x = row position."""
+    wo = _W_TS()
+    w = wo.rowsBetween(-7, 0)
+    x = _events(spark, sf_dir).withColumn(
+        "pos", F.row_number().over(wo).cast("double")
+    )
+    n = F.count(F.lit(1)).over(w)
+    axy = F.avg(F.col("pos") * F.col("value")).over(w)
+    ax = F.avg("pos").over(w)
+    ay = F.avg("value").over(w)
+    axx = F.avg(F.col("pos") * F.col("pos")).over(w)
+    return x.select(
+        "event_id",
+        F.when(n >= 2, F.round((axy - ax * ay) / (axx - ax * ax), 6)).alias("slope"),
+    )
+
+
+@register(
+    "lag_edge_detect",
+    """
+    WITH l AS (
+      SELECT event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+      FROM events
+    )
+    SELECT event_id FROM l WHERE value > 200 AND prev_v <= 200
+    """,
+)
+def lag_edge_detect(spark, sf_dir):
+    """W6 lag/lead edge detection (preprocessing.py:259-265 soiling_dates,
+    changepoint_detection.ipynb cell 17 rain edges)."""
+    l = _events(spark, sf_dir).withColumn("prev_v", F.lag("value").over(_W_TS()))
+    return l.filter((F.col("value") > 200) & (F.col("prev_v") <= 200)).select("event_id")
+
+
+@register(
+    "peak_detect",
+    """
+    WITH l AS (
+      SELECT event_id, value,
+             lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+      FROM events
+    )
+    SELECT event_id, value AS peak_value FROM l WHERE value > pv AND value > nv
+    """,
+)
+def peak_detect(spark, sf_dir):
+    """W8 scipy.signal.find_peaks equivalent (estimator_util.py:16-21):
+    strict local maxima via lag/lead."""
+    w = _W_TS()
+    l = (
+        _events(spark, sf_dir)
+        .withColumn("pv", F.lag("value").over(w))
+        .withColumn("nv", F.lead("value").over(w))
+    )
+    return l.filter((F.col("value") > F.col("pv")) & (F.col("value") > F.col("nv"))).select(
+        "event_id", F.col("value").alias("peak_value")
+    )
+
+
+@register(
+    "hopping_window",
+    """
+    WITH h AS (
+      SELECT event_type, value,
+             unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+      FROM events
+    )
+    SELECT event_type, win_start, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM h GROUP BY 1, 2
+    """,
+)
+def hopping_window(spark, sf_dir):
+    """W7 sliding-window scoring (learning.py:144-178, 90d/30d hop) as a
+    Spark hopping window: window(ts, '2 hours', '1 hour')."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select("event_type", F.col("win.start").alias("win_start"), "n", "avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W13 — top-k / ranking (statistics.py:67-84, learning.py:393-394)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_per_group",
+    """
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type, value, rn FROM r WHERE rn <= 5
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """W13 top-N selection → row_number over desc score, deterministic
+    tie-break on event_id; Catalyst turns global variants into
+    TakeOrderedAndProject."""
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "event_type", "value", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A5/A9 — error measures, correlation (statistics.py:43-64, 87-107)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_metrics",
+    """
+    WITH p AS (
+      SELECT event_type, value AS y,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS pred
+      FROM events
+    )
+    SELECT event_type,
+           round(1 - sum((y - pred) * (y - pred))
+                     / (sum(y * y) - count(*) * avg(y) * avg(y)), 6) AS r2,
+           round(avg(abs(y - pred)), 6) AS mae,
+           round(avg(y - pred), 6) AS me,
+           round(avg(abs(y - pred)) / avg(y), 6) AS mape,
+           round(avg(y - pred) / avg(y), 6) AS mpe
+    FROM p WHERE pred IS NOT NULL GROUP BY 1
+    """,
+)
+def score_metrics(spark, sf_dir):
+    """A4 score (statistics.py:43-64): R²/MAE/ME/MAPE/MPE as pure column
+    aggregates; 'pred' is a trailing rolling mean standing in for the
+    reference's regression prediction.  mape/mpe follow the reference's
+    mape1/mpe1 definitions (÷ mean(y), statistics.py:7-40)."""
+    w = _W_TS().rowsBetween(-5, -1)
+    p = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.avg("value").over(w).alias("pred"),
+    ).filter(F.col("pred").isNotNull())
+    y, pr = F.col("y"), F.col("pred")
+    return p.groupBy("event_type").agg(
+        F.round(
+            1
+            - F.sum((y - pr) * (y - pr))
+            / (F.sum(y * y) - F.count(F.lit(1)) * F.avg(y) * F.avg(y)),
+            6,
+        ).alias("r2"),
+        F.round(F.avg(F.abs(y - pr)), 6).alias("mae"),
+        F.round(F.avg(y - pr), 6).alias("me"),
+        F.round(F.avg(F.abs(y - pr)) / F.avg(y), 6).alias("mape"),
+        F.round(F.avg(y - pr) / F.avg(y), 6).alias("mpe"),
+    )
+
+
+@register(
+    "corr_pairs",
+    """
+    SELECT event_type,
+           round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+           round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS cov_vk
+    FROM events GROUP BY 1
+    """,
+)
+def corr_pairs(spark, sf_dir):
+    """A5 multi_corr building block (statistics.py:87-107): pairwise
+    Pearson corr aggregates (the small matrix inverse stays driver-side)."""
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
+            F.round(F.covar_samp(F.col("value"), k), 6).alias("cov_vk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — interval-containment joins (learning.py:444-455 tester)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_flags",
+    """
+    WITH iv AS (
+      SELECT user_id, ts - INTERVAL 5 MINUTE AS start_ts, ts + INTERVAL 5 MINUTE AS end_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.user_id AS conv_key,
+           count(*) AS n_points,
+           count(DISTINCT CASE WHEN EXISTS (
+             SELECT 1 FROM iv WHERE iv.user_id = e.user_id
+                    AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+           ) THEN e.event_id END) AS n_flagged
+    FROM events e GROUP BY 1
+    """,
+)
+def interval_join_flags(spark, sf_dir):
+    """J1 interval-containment join: label intervals (error ±5 min) →
+    point-in-interval flag, exactly the reference's tester() annotation
+    (learning.py:444-455).  The interval side is broadcast; the flag uses
+    left_semi so multi-overlap doesn't duplicate points."""
+    ev = _events(spark, sf_dir)
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    flagged = ev.alias("e").join(
+        F.broadcast(iv).alias("i"),
+        (F.col("e.user_id") == F.col("i.user_id"))
+        & (F.col("e.ts") >= F.col("i.start_ts"))
+        & (F.col("e.ts") <= F.col("i.end_ts")),
+        "left_semi",
+    )
+    n_flag = flagged.groupBy(F.col("user_id").alias("conv_key")).agg(
+        F.count(F.lit(1)).alias("n_flagged")
+    )
+    n_all = ev.groupBy(F.col("user_id").alias("conv_key")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    return n_all.join(n_flag, "conv_key", "left").select(
+        "conv_key", "n_points", F.coalesce("n_flagged", F.lit(0)).alias("n_flagged")
+    )
+
+
+@register(
+    "edge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS start_ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.user_id AS conv_key, iv.start_ts, iv.end_ts
+    FROM iv
+    WHERE iv.end_ts IS NOT NULL AND EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = iv.user_id AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+        AND e.value >= 300
+    )
+    """,
+)
+def edge_intervals(spark, sf_dir):
+    """P8/J2 event-interval extraction + containment filter: consecutive
+    error events form (start, end] candidate intervals, kept when they
+    contain a point with value ≥ 300 — the soiling_dates / rain-interval
+    family (preprocessing.py:252-296, changepoint notebook cell 21)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("start_ts"), F.lead("ts").over(w).alias("end_ts"))
+        .filter(F.col("end_ts").isNotNull())
+    )
+    pts = ev.filter(F.col("value") >= 300).select("user_id", "ts")
+    kept = iv.alias("i").join(
+        pts.alias("p"),
+        (F.col("p.user_id") == F.col("i.user_id"))
+        & (F.col("p.ts") >= F.col("i.start_ts"))
+        & (F.col("p.ts") <= F.col("i.end_ts")),
+        "left_semi",
+    )
+    return kept.select(F.col("user_id").alias("conv_key"), "start_ts", "end_ts")
+
+
+# ---------------------------------------------------------------------------
+# J4 — set ops / unions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT event_id, user_id, value, NULL AS event_type
+    FROM events WHERE ts < timestamp '2024-01-15'
+    UNION ALL BY NAME
+    SELECT event_id, event_type FROM events WHERE ts >= timestamp '2024-01-15'
+    """,
+)
+def union_by_name(spark, sf_dir):
+    """J4 pd.concat axis=0 (deviation_detection.ipynb cell 4) →
+    unionByName(allowMissingColumns=True)."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("ts") < "2024-01-15").select("event_id", "user_id", "value")
+    b = ev.filter(F.col("ts") >= "2024-01-15").select("event_id", "event_type")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# A11/A12 — quantile thresholding, summary stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_threshold",
+    """
+    WITH t AS (SELECT quantile_cont(abs(value), 0.9) AS thr FROM events)
+    SELECT e.event_id, e.value FROM events e, t WHERE abs(e.value) > t.thr
+    """,
+)
+def quantile_threshold(spark, sf_dir):
+    """A11 quantile thresholding (estimator_util.py:19,
+    underperformance_estimator.py:41): global exact quantile broadcast back
+    as a scalar filter."""
+    ev = _events(spark, sf_dir)
+    thr = ev.agg(F.expr("percentile(abs(value), 0.9)").alias("thr"))
+    return (
+        ev.crossJoin(F.broadcast(thr))
+        .filter(F.abs(F.col("value")) > F.col("thr"))
+        .select("event_id", "value")
+    )
+
+
+@register(
+    "summary_stats",
+    """
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean,
+           round(stddev_samp(value), 6) AS std,
+           round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+    FROM events GROUP BY 1
+    """,
+)
+def summary_stats(spark, sf_dir):
+    """A12 describe() (underperformance notebook cell 4)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.stddev_samp("value"), 6).alias("std"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill (LOCF) with a dense spine — SQL-oracled end-to-end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gapfill_locf_1m",
+    """
+    WITH day1 AS (
+      SELECT * FROM events WHERE ts < timestamp '2024-01-02'
+    ), r AS (
+      SELECT user_id, date_trunc('minute', ts) AS bucket_start,
+             round(avg(value), 6) AS latency_avg
+      FROM day1 GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, min(bucket_start) AS b0, max(bucket_start) AS b1 FROM r GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 MINUTE)) AS bucket_start
+      FROM b
+    ), j AS (
+      SELECT s.user_id, s.bucket_start, r.latency_avg,
+             r.latency_avg IS NULL AS is_gap
+      FROM spine s LEFT JOIN r USING (user_id, bucket_start)
+    )
+    SELECT user_id AS conv_key, bucket_start, is_gap,
+           last_value(latency_avg IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latency_locf
+    FROM j
+    """,
+)
+def gapfill_locf_1m(spark, sf_dir):
+    """End-to-end spine-densify + LOCF on one day of 1m rollups, using the
+    engine's gapfill operators — oracled in full SQL (reference
+    chunk_interpolate LOCF leg, preprocessing.py:185-208)."""
+    from more_pattern_extraction_spark.operators import gapfill as G
+
+    ev = _events(spark, sf_dir).filter(F.col("ts") < "2024-01-02")
+    r = ev.groupBy(
+        F.col("user_id").alias("conv_id"),
+        F.date_trunc("minute", "ts").alias("bucket_start"),
+    ).agg(F.round(F.avg("value"), 6).alias("latency_avg"))
+    dense = G.bucket_spine(r, "1m").join(r, ["conv_id", "bucket_start"], "left")
+    dense = dense.withColumn("is_gap", F.col("latency_avg").isNull())
+    out = G.locf(dense, ["latency_avg"])
+    return out.select(
+        F.col("conv_id").alias("conv_key"),
+        "bucket_start",
+        "is_gap",
+        F.col("latency_avg_locf").alias("latency_locf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents: exact dedup, token counts, fingerprints (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_hash
+    FROM d GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id.  The self-
+    union with shifted ids plants guaranteed duplicates.  At 100 TB this
+    groups on md5(text) (fixed 16-byte shuffle key) rather than raw text."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    d = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "keep_id", "n_copies", F.md5(F.col("text").cast("binary")).alias("text_hash")
+        )
+    )
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           length(text) AS char_len,
+           len(string_split(text, ' ')) AS token_cnt,
+           len(list_filter(string_split(text, ' '),
+               t -> t IN ('the', 'a', 'data', 'key', 'value'))) AS stop_cnt
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Text analysis: token counting + stopword hits, all JVM-side array
+    functions (no UDF)."""
+    toks = F.split(F.col("text"), " ")
+    stop = F.filter(
+        toks, lambda t: t.isin("the", "a", "data", "key", "value")
+    )
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("char_len"),
+        F.size(toks).alias("token_cnt"),
+        F.size(stop).alias("stop_cnt"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting (content hash; rolling-hash variant lives in
+    operators/text.py)."""
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
