@@ -810,6 +810,39 @@ def gapfill_locf_1m(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Chunk codec round trip (north rule: DoD + Gorilla-XOR chunk structs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_roundtrip",
+    """
+    SELECT user_id AS conv_key, date_trunc('minute', ts) AS bucket_start,
+           round(avg(value), 6) AS latency_avg
+    FROM events WHERE ts < timestamp '2024-01-08' GROUP BY 1, 2
+    """,
+)
+def chunk_roundtrip(spark, sf_dir):
+    """decode(encode(rollup)) == rollup, verified against the *plain*
+    rollup SQL — the oracle never sees the codec, so any bit the Gorilla/
+    DoD trip perturbs fails the value hash (functions/encode.py)."""
+    from more_pattern_extraction_spark.operators import chunks as C
+
+    ev = _events(spark, sf_dir).filter(F.col("ts") < "2024-01-08")
+    r1m = ev.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("minute", "ts").alias("bucket_start"),
+    ).agg(F.round(F.avg("value"), 6).alias("latency_avg"))
+    enc = C.encode_chunks(r1m, ["latency_avg"], "1m")
+    dec = C.decode_chunks(enc)
+    return dec.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "bucket_start",
+        F.col("value").alias("latency_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Documents: exact dedup, token counts, fingerprints (training-data ops)
 # ---------------------------------------------------------------------------
 
