@@ -1,0 +1,369 @@
+"""Numpy kernels for sliding-window pattern extraction.
+
+Implements, from the published algorithms (no stumpy/scipy in the image):
+
+  * STOMP self-join matrix profile (Zhu et al., "Matrix Profile II", ICDM
+    2016) — z-normalized Euclidean, O(n²) time / O(n) space, row-
+    vectorized; replaces the reference's ``stumpy.stump``
+    (``modules/patterns.py:313-364`` create_mp).
+  * mSTOMP k-dimensional matrix profile (Yeh et al., "Matrix Profile VI",
+    ICDM 2017) with ``include`` constraint — replaces ``mstump``.
+  * MASS2 FFT distance profile (Mueen et al.) — replaces
+    ``matrixprofile.algorithms.mass2`` used by ``modules/similarity.py:
+    32-104`` find_neighbors.
+  * FLUSS corrected arc curve + regime extraction (Gharghabi et al.,
+    "Domain Agnostic Online Semantic Segmentation", ICDM 2017) — replaces
+    ``stumpy.fluss`` (``modules/patterns.py:368-402`` segment_ts).
+
+Conventions matching stumpy (the reference's backend):
+  * exclusion zone = ceil(m/4) unless given;
+  * constant (σ≈0) subsequences: both constant → distance 0, one constant
+    → distance sqrt(m) (so no noise injection is needed, unlike the
+    reference's add_noise_to_series, preprocessing.py:106-144).
+
+These run inside grouped pandas UDFs (operators/matrix_profile.py) — one
+conversation (or conversation-chunk pair) per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EPS = 1e-13
+
+
+def sliding_mean_std(t: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling mean/std of every length-m window, numerically stable
+    (two-pass cumsum over de-meaned data)."""
+    t = np.asarray(t, dtype=np.float64)
+    n = len(t)
+    l = n - m + 1
+    c = t - t.mean()  # precondition to tame cumsum cancellation
+    cs = np.concatenate([[0.0], np.cumsum(c)])
+    cs2 = np.concatenate([[0.0], np.cumsum(c * c)])
+    mu_c = (cs[m:] - cs[:l]) / m
+    var = (cs2[m:] - cs2[:l]) / m - mu_c * mu_c
+    var[var < 0] = 0.0
+    return mu_c + t.mean(), np.sqrt(var)
+
+
+def _sliding_dot(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """dot(q, t[i:i+m]) for all i, via FFT convolution (O(n log n))."""
+    m, n = len(q), len(t)
+    size = 1 << int(np.ceil(np.log2(n + m)))
+    fq = np.fft.rfft(q[::-1], size)
+    ft = np.fft.rfft(t, size)
+    conv = np.fft.irfft(fq * ft, size)
+    return conv[m - 1 : n]
+
+
+def _zdist_from_qt(
+    qt: np.ndarray, m: int,
+    mu_q: float, sig_q: float,
+    mu_t: np.ndarray, sig_t: np.ndarray,
+) -> np.ndarray:
+    """z-normalized Euclidean distance from dot products, with the stumpy
+    constant-window convention."""
+    q_const = sig_q < _EPS
+    t_const = sig_t < _EPS
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho = (qt - m * mu_q * mu_t) / (m * sig_q * sig_t)
+    d2 = 2.0 * m * (1.0 - rho)
+    d2[d2 < 0] = 0.0
+    d = np.sqrt(d2)
+    if q_const:
+        d = np.where(t_const, 0.0, np.sqrt(m))
+    else:
+        d = np.where(t_const, np.sqrt(m), d)
+    return d
+
+
+def mass2(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Distance profile of query q against series t (z-normalized)."""
+    q = np.asarray(q, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    m = len(q)
+    mu_t, sig_t = sliding_mean_std(t, m)
+    qt = _sliding_dot(q, t)
+    return _zdist_from_qt(qt, m, q.mean(), q.std(), mu_t, sig_t)
+
+
+def stomp(t: np.ndarray, m: int, ez: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Self-join matrix profile: (distances, nearest-neighbor indices).
+
+    Row-vectorized STOMP: the QT vector updates in O(l) per row.
+    """
+    t = np.asarray(t, dtype=np.float64)
+    n = len(t)
+    l = n - m + 1
+    if l < 1:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+    if ez is None:
+        ez = int(np.ceil(m / 4))
+    mu, sig = sliding_mean_std(t, m)
+    qt_first = _sliding_dot(t[:m], t)  # QT for row 0
+    qt = qt_first.copy()
+    mp = np.full(l, np.inf)
+    pi = np.full(l, -1, dtype=np.int64)
+    for i in range(l):
+        if i > 0:
+            qt[1:] = qt[:-1] - t[i - 1] * t[: l - 1] + t[i + m - 1] * t[m : m + l - 1]
+            qt[0] = qt_first[i]
+        d = _zdist_from_qt(qt, m, mu[i], sig[i], mu, sig)
+        lo, hi = max(0, i - ez), min(l, i + ez + 1)
+        d[lo:hi] = np.inf
+        j = int(np.argmin(d))
+        if np.isfinite(d[j]):
+            mp[i] = d[j]
+            pi[i] = j
+    return mp, pi
+
+
+def mstomp(
+    ts: np.ndarray, m: int, ez: int | None = None, include: list[int] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-dimensional matrix profile (mSTOMP): ts is (d, n) row-major.
+
+    Returns (mps, idx), each (d, l): row k is the (k+1)-dimensional
+    profile / index.  ``include`` forces those dimension indices into
+    every subset (the reference's constrained search,
+    patterns.py:313-364 include=['active power'])."""
+    ts = np.asarray(ts, dtype=np.float64)
+    d, n = ts.shape
+    l = n - m + 1
+    if ez is None:
+        ez = int(np.ceil(m / 4))
+    include = sorted(include) if include else []
+    mu = np.empty((d, l))
+    sig = np.empty((d, l))
+    qt_first = np.empty((d, l))
+    qt = np.empty((d, l))
+    for k in range(d):
+        mu[k], sig[k] = sliding_mean_std(ts[k], m)
+        qt_first[k] = _sliding_dot(ts[k, :m], ts[k])
+    qt[:] = qt_first
+    mps = np.full((d, l), np.inf)
+    idx = np.full((d, l), -1, dtype=np.int64)
+    for i in range(l):
+        if i > 0:
+            qt[:, 1:] = (
+                qt[:, :-1]
+                - ts[:, i - 1, None] * ts[:, : l - 1]
+                + ts[:, i + m - 1, None] * ts[:, m : m + l - 1]
+            )
+            qt[:, 0] = qt_first[:, i]
+        dist = np.empty((d, l))
+        for k in range(d):
+            dist[k] = _zdist_from_qt(qt[k], m, mu[k, i], sig[k, i], mu[k], sig[k])
+        lo, hi = max(0, i - ez), min(l, i + ez + 1)
+        dist[:, lo:hi] = np.inf
+        if include:
+            rest = [k for k in range(d) if k not in include]
+            ordered = np.concatenate(
+                [dist[include], np.sort(dist[rest], axis=0)]
+            ) if rest else dist[include]
+        else:
+            ordered = np.sort(dist, axis=0)
+        csum = np.cumsum(ordered, axis=0)
+        for k in range(d):
+            prof = csum[k] / (k + 1)
+            j = int(np.argmin(prof))
+            if np.isfinite(prof[j]):
+                mps[k, i] = prof[j]
+                idx[k, i] = j
+    return mps, idx
+
+
+def stomp_ab(
+    ta: np.ndarray,
+    tb: np.ndarray,
+    m: int,
+    ez: int,
+    offset_a: int,
+    offset_b: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """AB-join: for every subsequence i of ``ta``, the min z-norm distance
+    to any subsequence j of ``tb`` (and the *global* index of that j),
+    honoring the self-join exclusion zone on global positions
+    ``|(offset_a+i) - (offset_b+j)| <= ez``.
+
+    This is the chunk-pair primitive of the exact distributed matrix
+    profile (operators/matrix_profile.py): a conversation too long for one
+    task is split into chunks with m-1 halo rows; every chunk pair runs
+    stomp_ab both ways and a min-reduce by global position recovers the
+    exact self-join profile.
+    """
+    ta = np.asarray(ta, dtype=np.float64)
+    tb = np.asarray(tb, dtype=np.float64)
+    la = len(ta) - m + 1
+    lb = len(tb) - m + 1
+    mp = np.full(la, np.inf)
+    pi = np.full(la, -1, dtype=np.int64)
+    if la < 1 or lb < 1:
+        return mp, pi
+    mu_a, sig_a = sliding_mean_std(ta, m)
+    mu_b, sig_b = sliding_mean_std(tb, m)
+    qt_first = _sliding_dot(ta[:m], tb)  # row 0: dot(ta[0:m], tb[j:j+m])
+    col_first = _sliding_dot(tb[:m], ta)  # dot(ta[i:i+m], tb[0:m])
+    qt = qt_first.copy()
+    jg = offset_b + np.arange(lb)
+    for i in range(la):
+        if i > 0:
+            qt[1:] = qt[:-1] - ta[i - 1] * tb[: lb - 1] + ta[i + m - 1] * tb[m : m + lb - 1]
+            qt[0] = col_first[i]
+        d = _zdist_from_qt(qt, m, mu_a[i], sig_a[i], mu_b, sig_b)
+        ig = offset_a + i
+        d[np.abs(ig - jg) <= ez] = np.inf
+        j = int(np.argmin(d))
+        if np.isfinite(d[j]):
+            mp[i] = d[j]
+            pi[i] = jg[j]
+    return mp, pi
+
+
+# ---------------------------------------------------------------------------
+# FLUSS
+# ---------------------------------------------------------------------------
+
+
+def arc_curve(pi: np.ndarray) -> np.ndarray:
+    """Number of nearest-neighbor arcs crossing each position."""
+    l = len(pi)
+    marks = np.zeros(l + 1)
+    lo = np.minimum(np.arange(l), pi)
+    hi = np.maximum(np.arange(l), pi)
+    valid = pi >= 0
+    np.add.at(marks, lo[valid], 1)
+    np.add.at(marks, hi[valid], -1)
+    return np.cumsum(marks)[:l]
+
+
+def fluss_cac(pi: np.ndarray, L: int, excl_factor: int = 5) -> np.ndarray:
+    """Corrected arc curve: AC / idealized-AC, clipped to 1, with the
+    first/last excl_factor*L positions pinned to 1."""
+    l = len(pi)
+    ac = arc_curve(pi)
+    i = np.arange(l)
+    iac = 2.0 * i * (l - i) / l
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cac = np.where(iac > 0, ac / iac, 1.0)
+    cac = np.minimum(cac, 1.0)
+    ez = excl_factor * L
+    cac[: min(ez, l)] = 1.0
+    cac[max(0, l - ez):] = 1.0
+    return cac
+
+
+def fluss_regimes(cac: np.ndarray, L: int, n_regimes: int, excl_factor: int = 5) -> np.ndarray:
+    """Iteratively pick the n_regimes-1 lowest CAC valleys, excluding
+    ±excl_factor*L around each chosen changepoint."""
+    cac = cac.copy()
+    l = len(cac)
+    ez = excl_factor * L
+    locs = []
+    for _ in range(max(0, n_regimes - 1)):
+        j = int(np.argmin(cac))
+        if cac[j] >= 1.0:
+            break
+        locs.append(j)
+        cac[max(0, j - ez) : min(l, j + ez + 1)] = np.inf
+    return np.array(sorted(locs), dtype=np.int64)
+
+
+def fluss(pi: np.ndarray, L: int, n_regimes: int, excl_factor: int = 5):
+    cac = fluss_cac(pi, L, excl_factor)
+    return cac, fluss_regimes(cac, L, n_regimes, excl_factor)
+
+
+# ---------------------------------------------------------------------------
+# Motifs / discords / neighbors (reference similarity.py + learning.py:pmc)
+# ---------------------------------------------------------------------------
+
+
+def apply_exclusion(d: np.ndarray, idx: int, ez: int) -> None:
+    d[max(0, idx - ez) : min(len(d), idx + ez + 1)] = np.inf
+
+
+def find_neighbors_kernel(
+    query: np.ndarray,
+    ts: np.ndarray,
+    min_dist: float,
+    exclusion_zone: int = 0,
+    max_neighbors: int = 100,
+    radius: float = 3.0,
+) -> tuple[list[int], list[float]]:
+    """Multi-dim neighbor search: per-dim MASS2 profiles, per-position
+    ascending sort across dims, cumulative mean, take the d-dim profile,
+    then iterative argmin with exclusion — mirrors modules/similarity.py:
+    32-104 semantics exactly (validated in tests)."""
+    q = np.atleast_2d(np.asarray(query, dtype=np.float64).T)
+    t = np.atleast_2d(np.asarray(ts, dtype=np.float64).T)
+    dims = t.shape[0]
+    D = np.empty((dims, t.shape[1] - q.shape[1] + 1))
+    for i in range(dims):
+        D[i] = mass2(q[i], t[i])
+    D.sort(axis=0, kind="mergesort")
+    profile = np.cumsum(D, axis=0)[dims - 1] / dims
+    neighbors: list[int] = []
+    dists: list[float] = []
+    for _ in range(max_neighbors):
+        j = int(np.argmin(profile))
+        dj = profile[j]
+        if not np.isfinite(dj) or dj > radius * min_dist:
+            break
+        neighbors.append(j)
+        dists.append(float(dj))
+        apply_exclusion(profile, j, exclusion_zone)
+    return neighbors, dists
+
+
+def top_k_motifs_kernel(
+    t: np.ndarray,
+    mp: np.ndarray,
+    pi: np.ndarray,
+    m: int,
+    ez: int,
+    radius: float,
+    k: int,
+    max_neighbors: int = 50,
+) -> list[dict]:
+    """Top-k motif pairs + their radius-neighbors from a univariate MP
+    (reference get_top_k_motifs, similarity.py:8-29, backed by the
+    matrixprofile-foundation algorithm)."""
+    mp = mp.copy()
+    mp[~np.isfinite(mp)] = np.inf
+    out = []
+    for _ in range(k):
+        i = int(np.argmin(mp))
+        if not np.isfinite(mp[i]):
+            break
+        j = int(pi[i])
+        min_dist = float(mp[i])
+        prof = mass2(t[i : i + m], t)
+        apply_exclusion(prof, i, ez)
+        apply_exclusion(prof, j, ez)
+        neighbors = []
+        for _n in range(max_neighbors):
+            nb = int(np.argmin(prof))
+            if not np.isfinite(prof[nb]) or prof[nb] > radius * min_dist:
+                break
+            neighbors.append(nb)
+            apply_exclusion(prof, nb, ez)
+        out.append({"motifs": [i, j], "distance": min_dist, "neighbors": neighbors})
+        for p in [i, j, *neighbors]:
+            apply_exclusion(mp, p, ez)
+    return out
+
+
+def top_k_discords_kernel(mp: np.ndarray, ez: int, k: int) -> list[tuple[int, float]]:
+    """Top-k discords = highest finite MP values with exclusion zones."""
+    mp = mp.copy()
+    out = []
+    for _ in range(k):
+        finite = np.isfinite(mp)
+        if not finite.any():
+            break
+        j = int(np.argmax(np.where(finite, mp, -np.inf)))
+        out.append((j, float(mp[j])))
+        mp[max(0, j - ez) : j + ez + 1] = np.nan
+    return out

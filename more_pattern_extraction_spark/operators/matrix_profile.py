@@ -1,0 +1,206 @@
+"""Matrix-profile operators (reference W1: create_mp,
+``modules/patterns.py:313-364``; Dask stumped/mstumped replaced by Spark
+grouped pandas UDFs).
+
+Two physical strategies, one logical result:
+
+  * ``matrix_profile`` — one conversation per ``applyInPandas`` group.
+    Right when every conversation's gridded series fits a task
+    (≤ ``max_points``).  The shuffle key is ``conv_id``; hot conversations
+    are exactly the case this does NOT cover.
+  * ``matrix_profile_distributed`` — EXACT distributed self-join for long
+    conversations: split the grid into chunks of ``chunk_size`` with
+    ``m-1`` halo rows, form all chunk pairs, run the STOMP AB-join kernel
+    per pair (both directions), min-reduce by global position.  Work is
+    O((n/S)²) tasks of O(S²) each — the unavoidable quadratic cost of an
+    exact MP, but now embarrassingly parallel and bounded-memory
+    (SURVEY.md §4 "windowed ops across partition edges").  Halo rows mean
+    each chunk ships S+m-1 points; the pair fan-out replicates each chunk
+    n/S times — at 10^12-turn scale one bounds this with per-conversation
+    time windows (compute MP per day/week of rollup grid, as the reference
+    does with m = 1 day on a 60 s grid).
+
+Input contract: a regular, gap-filled grid per conversation (rollup tier +
+gapfill), value column non-null, ordered by ``bucket_start``.  NaNs from
+unfilled gaps must be handled upstream (interpolate/locf) — the z-norm of
+a window containing NaN is NaN and poisons the profile, matching the
+reference's requirement to interpolate before stump.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.functions.kernels import mstomp, stomp, stomp_ab
+
+MP_SCHEMA = "conv_id string, pos int, mp double, pi bigint"
+MDMP_SCHEMA = "conv_id string, k int, pos int, mp double, pi bigint"
+
+
+def with_positions(grid: DataFrame, order_col: str = "bucket_start") -> DataFrame:
+    """Attach the 0-based grid position used as the MP coordinate system."""
+    w = Window.partitionBy("conv_id").orderBy(order_col)
+    return grid.withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+
+
+def matrix_profile(
+    grid: DataFrame,
+    m: int,
+    value_col: str = "latency_avg_filled",
+    ez: int | None = None,
+    order_col: str = "bucket_start",
+) -> DataFrame:
+    """Per-conversation self-join MP: (conv_id, pos, mp, pi)."""
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        t = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        if len(t) < m:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype="str"), "pos": pd.Series(dtype="int32"),
+                 "mp": pd.Series(dtype="float64"), "pi": pd.Series(dtype="int64")}
+            )
+        mp, pi = stomp(t, m, ez)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "pos": np.arange(len(mp), dtype="int32"),
+                "mp": mp,
+                "pi": pi,
+            }
+        )
+
+    return grid.groupBy("conv_id").applyInPandas(f, MP_SCHEMA)
+
+
+def matrix_profile_multidim(
+    grid: DataFrame,
+    m: int,
+    value_cols: list[str],
+    include: list[int] | None = None,
+    ez: int | None = None,
+    order_col: str = "bucket_start",
+) -> DataFrame:
+    """k-dimensional MP (reference mstump): one row per (conv, k, pos)."""
+    cols = list(value_cols)
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        ts = pdf[cols].to_numpy(dtype="float64", na_value=np.nan).T
+        if ts.shape[1] < m:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype="str"), "k": pd.Series(dtype="int32"),
+                 "pos": pd.Series(dtype="int32"), "mp": pd.Series(dtype="float64"),
+                 "pi": pd.Series(dtype="int64")}
+            )
+        mps, idx = mstomp(ts, m, ez, include)
+        d, l = mps.shape
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "k": np.repeat(np.arange(1, d + 1, dtype="int32"), l),
+                "pos": np.tile(np.arange(l, dtype="int32"), d),
+                "mp": mps.ravel(),
+                "pi": idx.ravel(),
+            }
+        )
+
+    return grid.groupBy("conv_id").applyInPandas(f, MDMP_SCHEMA)
+
+
+def matrix_profile_distributed(
+    grid: DataFrame,
+    m: int,
+    value_col: str = "latency_avg_filled",
+    chunk_size: int = 4096,
+    ez: int | None = None,
+    order_col: str = "bucket_start",
+) -> DataFrame:
+    """Exact distributed self-join MP via chunk-pair AB-joins + min-reduce.
+
+    Equal to ``matrix_profile`` bit-for-bit (tests/test_matrix_profile.py)
+    but scales to conversations that don't fit one task.
+    """
+    if ez is None:
+        ez = int(np.ceil(m / 4))
+    S = chunk_size
+    pts = with_positions(grid, order_col).select(
+        "conv_id", "pos", F.col(value_col).alias("v")
+    )
+    # every row belongs to its main chunk, plus the previous chunk's halo
+    # (first m-1 rows of chunk c complete chunk c-1's windows)
+    main = pts.withColumn("chunk", (F.col("pos") / S).cast("int"))
+    halo = (
+        pts.filter((F.col("pos") % S) < m - 1)
+        .withColumn("chunk", (F.col("pos") / S).cast("int") - 1)
+        .filter(F.col("chunk") >= 0)
+    )
+    ch = main.unionByName(halo)
+
+    chunk_ids = ch.select("conv_id", "chunk").distinct()
+    pairs = (
+        chunk_ids.alias("a")
+        .join(chunk_ids.alias("b"), "conv_id")
+        .select("conv_id", F.col("a.chunk").alias("ca"), F.col("b.chunk").alias("cb"))
+        .filter(F.col("ca") <= F.col("cb"))
+    )
+    rows_a = pairs.join(
+        ch.withColumnRenamed("chunk", "ca"), ["conv_id", "ca"]
+    ).select("conv_id", "ca", "cb", F.lit("a").alias("side"), "pos", "v")
+    rows_b = pairs.filter(F.col("ca") != F.col("cb")).join(
+        ch.withColumnRenamed("chunk", "cb"), ["conv_id", "cb"]
+    ).select("conv_id", "ca", "cb", F.lit("b").alias("side"), "pos", "v")
+    both = rows_a.unionByName(rows_b)
+
+    def pair_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        conv, ca, cb = key
+        a = pdf[pdf["side"] == "a"].sort_values("pos")
+        b = a if ca == cb else pdf[pdf["side"] == "b"].sort_values("pos")
+        ta = a["v"].to_numpy(dtype="float64")
+        tb = b["v"].to_numpy(dtype="float64")
+        off_a = int(a["pos"].iloc[0]) if len(a) else 0
+        off_b = int(b["pos"].iloc[0]) if len(b) else 0
+        out = []
+        la = len(ta) - m + 1
+        lb = len(tb) - m + 1
+        if la >= 1 and lb >= 1:
+            mp_ab, pi_ab = stomp_ab(ta, tb, m, ez, off_a, off_b)
+            # emit only positions whose MAIN chunk is ca (halo dedup)
+            keep = (np.arange(la) + off_a) // S == ca
+            out.append(
+                pd.DataFrame(
+                    {"pos": (np.arange(la) + off_a)[keep],
+                     "mp": mp_ab[keep], "pi": pi_ab[keep]}
+                )
+            )
+            if ca != cb:
+                mp_ba, pi_ba = stomp_ab(tb, ta, m, ez, off_b, off_a)
+                keep = (np.arange(lb) + off_b) // S == cb
+                out.append(
+                    pd.DataFrame(
+                        {"pos": (np.arange(lb) + off_b)[keep],
+                         "mp": mp_ba[keep], "pi": pi_ba[keep]}
+                    )
+                )
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"pos": [], "mp": [], "pi": []}
+        )
+        res.insert(0, "conv_id", conv)
+        return res.astype({"pos": "int32", "pi": "int64"})
+
+    partials = both.groupBy("conv_id", "ca", "cb").applyInPandas(
+        pair_kernel, MP_SCHEMA
+    )
+    reduced = (
+        partials.groupBy("conv_id", "pos")
+        .agg(F.min("mp").alias("mp"), F.expr("min_by(pi, mp)").alias("pi"))
+    )
+    # positions with no finite distance anywhere → mp inf, pi -1 (match kernel)
+    return reduced.select(
+        "conv_id", "pos",
+        F.col("mp"),
+        F.when(F.col("mp") == float("inf"), F.lit(-1)).otherwise(F.col("pi")).alias("pi"),
+    )

