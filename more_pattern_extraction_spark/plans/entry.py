@@ -1107,3 +1107,299 @@ def doc_fingerprint(spark, sf_dir):
     return _documents(spark, sf_dir).select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )
+
+
+def _docs_with_planted_dups(spark, sf_dir):
+    """documents ∪ (doc_id+1000000, text ⊕ ' zz zz'): deterministic near-
+    duplicates so the dedup operators have guaranteed positives at sf0.01
+    (the synthetic corpus itself has none)."""
+    d = _documents(spark, sf_dir).select("doc_id", "source", "text")
+    mod = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" zz zz")).alias("text"),
+    )
+    return d.unionByName(mod)
+
+
+_PLANTED_SQL = """
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source, text || ' zz zz' AS text
+      FROM documents
+"""
+
+_SH_SQL = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS ({_PLANTED_SQL}),
+    sh AS (
+      SELECT doc_id, source, {_SH_SQL} AS sh
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM d)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.7
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs, blocked by source (operators/dedup).
+    Planted near-dups (text + ' zz zz') must pair with their originals."""
+    from more_pattern_extraction_spark.operators import dedup as DD
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(d, "source", threshold=0.7, n=3)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH d AS ({_PLANTED_SQL}),
+    sh AS (
+      SELECT doc_id AS doc, {_SH_SQL} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d)
+    ), sig AS (
+      SELECT doc, sh,
+             [{", ".join(f"list_min(list_transform(sh, s -> md5(s || '#{i}')))" for i in range(8))}] AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc, sh, 0 AS band, sig[1] || '|' || sig[2] AS key FROM sig
+      UNION ALL SELECT doc, sh, 1, sig[3] || '|' || sig[4] FROM sig
+      UNION ALL SELECT doc, sh, 2, sig[5] || '|' || sig[6] FROM sig
+      UNION ALL SELECT doc, sh, 3, sig[7] || '|' || sig[8] FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.sh, sb.sh))
+                 / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE),
+                 6) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc = c.doc_a JOIN sh sb ON sb.doc = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh))
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle → 8 md5-minhashes → 4 bands →
+    bucket join → Jaccard verify), oracled by an identically-banded SQL
+    pipeline in DuckDB (operators/dedup.py minhash_lsh_pairs)."""
+    from more_pattern_extraction_spark.operators import dedup as DD
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return DD.minhash_lsh_pairs(d, n_hashes=8, bands=4, threshold=0.5, n=3)
+
+
+@register("dedup_simhash")  # rows-only: pandas-UDF simhash (pytest-oracled)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit fingerprint, 4×16-bit pigeonhole
+    blocks, hamming verify with bit_count (operators/dedup.py)."""
+    from more_pattern_extraction_spark.operators import dedup as DD
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return DD.simhash_near_dups(d, max_hamming=6)
+
+
+@register("dedup_exact_rep")  # exact-dedup representative selection
+def dedup_exact_rep(spark, sf_dir):
+    """Exact dedup via operators/dedup.exact_dedup (md5-grouped; the
+    content-hash key keeps the shuffle narrow at corpus scale)."""
+    from more_pattern_extraction_spark.operators import dedup as DD
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    # exact copies: plant them by doubling the originals
+    d2 = d.unionByName(d.select((F.col("doc_id") + 5000000).alias("doc_id"), "source", "text"))
+    return DD.exact_dedup(d2)
+
+
+ORACLES["dedup_exact_rep"] = f"""
+    WITH d0 AS ({_PLANTED_SQL}),
+    d AS (SELECT doc_id, text FROM d0
+          UNION ALL SELECT doc_id + 5000000, text FROM d0)
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM d GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (ANN)
+# ---------------------------------------------------------------------------
+
+
+_DOT_SQL = lambda a, b: (  # noqa: E731
+    f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "embedding_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+             round({_DOT_SQL('qv', 'cv')}
+                   / sqrt({_DOT_SQL('qv', 'qv')} * {_DOT_SQL('cv', 'cv')}), 6) AS cos
+      FROM c, q WHERE cand_id != query_id
+    ), r AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cos, rank FROM r WHERE rank <= 3
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN exactness baseline) — JVM-side
+    zip_with/aggregate dot products, broadcast query side
+    (operators/similarity_search.cosine_topk)."""
+    from more_pattern_extraction_spark.operators import similarity_search as SS
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return SS.cosine_topk(emb, q, k=3).select("query_id", "cand_id", "cos", "rank")
+
+
+@register("embedding_topk_lsh")  # rows-only: ANN recall pytest-verified
+def embedding_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-k (random hyperplane signs, same-bucket
+    candidates) — the 100 TB scale path."""
+    from more_pattern_extraction_spark.operators import similarity_search as SS
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return SS.cosine_topk_lsh(emb, q, k=3, n_planes=6).select(
+        "query_id", "cand_id", "cos", "rank"
+    )
+
+
+@register("embedding_near_dups")  # rows-only (LSH-bucketed)
+def embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above threshold; duplicates
+    planted by re-inserting each vector under a shifted id (cos = 1.0
+    pairs must all be found — same vector → same LSH bucket)."""
+    from more_pattern_extraction_spark.operators import similarity_search as SS
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return SS.embedding_near_dups(planted, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "language_id",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_intersect(toks, ['the','and','of','to','is'])) AS score_en,
+             len(list_intersect(toks, ['el','la','de','que','es'])) AS score_es,
+             len(list_intersect(toks, ['der','die','und','ist','das'])) AS score_de,
+             len(list_intersect(toks, ['le','la','et','est','les'])) AS score_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN score_en = g AND g > 0 THEN 'en'
+                WHEN score_es = g AND g > 0 THEN 'es'
+                WHEN score_de = g AND g > 0 THEN 'de'
+                WHEN score_fr = g AND g > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           score_en, score_es, score_de, score_fr
+    FROM (SELECT *, greatest(score_en, score_es, score_de, score_fr) AS g FROM s)
+    """,
+)
+def language_id(spark, sf_dir):
+    """Marker-word language ID heuristic (operators/text.language_id)."""
+    from more_pattern_extraction_spark.operators import text as TX
+
+    return TX.language_id(_documents(spark, sf_dir)).select(
+        "doc_id", "lang_pred", "score_en", "score_es", "score_de", "score_fr"
+    )
+
+
+@register(
+    "quality_score",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS char_len,
+           len(toks) AS token_cnt,
+           round((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+           round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+           len(list_intersect(list_distinct(toks),
+               ['the','a','and','of','to','in','is','it'])) AS stop_hits,
+           round(least(len(toks) / 100.0, 1.0) * 0.4
+                 + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.4
+                 + least(len(list_intersect(list_distinct(toks),
+                        ['the','a','and','of','to','in','is','it'])) / 5.0, 1.0) * 0.2,
+                 6) AS quality
+    FROM t
+    """,
+)
+def quality_score(spark, sf_dir):
+    """Heuristic document quality features (operators/text.quality_score)."""
+    from more_pattern_extraction_spark.operators import text as TX
+
+    return TX.quality_score(_documents(spark, sf_dir))
+
+
+@register(
+    "bow_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+    FROM documents
+    """,
+)
+def bow_fingerprint(spark, sf_dir):
+    """Order-insensitive bag-of-words fingerprint (operators/text)."""
+    from more_pattern_extraction_spark.operators import text as TX
+
+    return TX.bow_fingerprint(_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (fake codec; Spark-side schema/batching is real)
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features")  # rows-only: codec is a deterministic fake
+def multimodal_features(spark, sf_dir):
+    """Binary payload → decode → mean-pool features via mapInPandas
+    (operators/multimodal; real decoder is a set_decoder seam)."""
+    from more_pattern_extraction_spark.operators import multimodal as MM
+
+    media = MM.attach_fake_payloads(_documents(spark, sf_dir))
+    out = MM.extract_features(media, pool_bins=8)
+    return out.select(
+        "doc_id", "modality", "n_bytes", "width", "height",
+        F.round(F.element_at("features", 1), 6).alias("feat0"),
+    )
+
+
+@register("multimodal_frames")  # rows-only
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary payloads (one-to-many mapInPandas)."""
+    from more_pattern_extraction_spark.operators import multimodal as MM
+
+    media = MM.attach_fake_payloads(_documents(spark, sf_dir))
+    return MM.frame_sample(media, every_n=4).select(
+        "doc_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )

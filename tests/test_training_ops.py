@@ -1,0 +1,181 @@
+"""Training-data pipeline operators: dedup family, ANN search, text
+analysis, multimodal plumbing — vs numpy/python oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.operators import dedup as DD
+from more_pattern_extraction_spark.operators import multimodal as MM
+from more_pattern_extraction_spark.operators import similarity_search as SS
+from more_pattern_extraction_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(21)
+    words = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(40):
+        toks = list(rng.choice(words, size=30))
+        rows.append({"doc_id": i, "source": f"s{i % 3}", "text": " ".join(toks)})
+    # plant: 100 = near-dup of 0; 101 = exact dup of 1
+    rows.append({"doc_id": 100, "source": "s0", "text": rows[0]["text"] + " zz zz"})
+    rows.append({"doc_id": 101, "source": "s1", "text": rows[1]["text"]})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _py_jaccard(t1, t2, n=3):
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    a, b = sh(t1), sh(t2)
+    return len(a & b) / len(a | b)
+
+
+def test_exact_dedup(spark, docs):
+    got = DD.exact_dedup(docs).filter("n_copies > 1").collect()
+    assert len(got) == 1 and got[0].keep_id == 1 and got[0].n_copies == 2
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pdf = docs.toPandas().set_index("doc_id")
+    got = DD.ngram_jaccard_pairs(docs, "source", threshold=0.7).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got}
+    assert (0, 100) in pairs and (1, 101) in pairs
+    np.testing.assert_allclose(
+        pairs[(0, 100)], _py_jaccard(pdf.loc[0].text, pdf.loc[100].text), atol=1e-6
+    )
+    assert pairs[(1, 101)] == 1.0
+
+
+def test_minhash_lsh_finds_planted(spark, docs):
+    got = DD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (0, 100) in pairs and (1, 101) in pairs
+
+
+def _py_simhash(text: str) -> int:
+    toks = text.split(" ")
+    acc = np.zeros(64)
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += (h >> b) & 1
+    out = 0
+    for b in range(64):
+        if acc[b] * 2 >= len(toks):
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    got = docs.select("doc_id", DD.simhash64(F.col("text")).alias("s")).orderBy("doc_id").collect()
+    pdf = docs.toPandas().set_index("doc_id")
+    for r in got[:10]:
+        assert r.s == _py_simhash(pdf.loc[r.doc_id].text)
+
+
+def test_simhash_near_dups(spark, docs):
+    got = DD.simhash_near_dups(docs, max_hamming=6).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in got}
+    assert pairs[(1, 101)] == 0  # exact dup → hamming 0
+    assert (0, 100) in pairs  # near dup within 6 bits
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # clustered embeddings: true neighbors are angularly close, which is
+    # the regime LSH recall is defined over (random vectors have no
+    # meaningful neighbors)
+    rng = np.random.default_rng(22)
+    centers = rng.normal(0, 1, (8, 16))
+    vecs = np.array(
+        [centers[i % 8] + rng.normal(0, 0.15, 16) for i in range(80)]
+    ).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(80), "embedding": [list(map(float, v)) for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    q = df.filter("vec_id < 3")
+    got = SS.cosine_topk(df, q, k=5).toPandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        exp = np.argsort(-np.round(s, 6), kind="stable")[:5]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.cand_id) == list(exp)
+        np.testing.assert_allclose(sub.cos.values, np.round(s[exp], 6), atol=2e-6)
+
+
+def test_lsh_topk_recall(spark, emb):
+    df, vecs = emb
+    q = df.filter("vec_id < 10")
+    exact = SS.cosine_topk(df, q, k=3).toPandas()
+    approx = SS.cosine_topk_lsh(df, q, k=3, n_planes=4, dim=16).toPandas()
+    # results must be a correctly-ranked subset of the bucket: every
+    # returned cosine matches the exact cosine for that pair
+    merged = approx.merge(exact, on=["query_id", "cand_id"], how="left", suffixes=("_a", "_e"))
+    hit = merged.cos_e.notna()
+    recall = hit.sum() / len(exact)
+    assert recall > 0.3  # 2^4 buckets over 80 vecs: sane lower bound
+    np.testing.assert_allclose(
+        merged[hit].cos_a.values, merged[hit].cos_e.values, atol=1e-9
+    )
+
+
+def test_embedding_near_dups_finds_planted(spark, emb):
+    df, _ = emb
+    planted = df.unionByName(
+        df.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    got = SS.embedding_near_dups(planted, threshold=0.999, n_planes=4, dim=16).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+    assert all((i, i + 1000) in found for i in range(80))  # same bucket always
+
+
+def test_language_id_markers(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the cat and the dog of doom",
+                "el que la casa es grande",
+                "xyzzy plugh foo",
+            ],
+        }
+    )
+    got = TX.language_id(spark.createDataFrame(pdf)).orderBy("doc_id").collect()
+    assert [r.lang_pred for r in got] == ["en", "es", "und"]
+
+
+def test_quality_score_fields(spark):
+    pdf = pd.DataFrame({"doc_id": [0], "text": ["the the the the"]})
+    r = TX.quality_score(spark.createDataFrame(pdf)).collect()[0]
+    assert r.token_cnt == 4 and r.char_len == 15
+    assert abs(r.distinct_ratio - 0.25) < 1e-9
+    assert r.stop_hits == 1
+
+
+def test_multimodal_features_and_frames(spark, docs):
+    media = MM.attach_fake_payloads(docs)
+    feats = MM.extract_features(media, pool_bins=4).orderBy("doc_id").toPandas()
+    row = feats.iloc[0]
+    txt = docs.orderBy("doc_id").first().text.encode()
+    img = MM._fake_decode(txt)
+    assert row.n_bytes == len(txt)
+    assert row.width == row.height == int(np.sqrt(len(txt)))
+    flat = img.astype("float64").ravel()
+    idx = np.linspace(0, len(flat), 5).astype(int)
+    np.testing.assert_allclose(row.features[0], flat[idx[0]:idx[1]].mean())
+    frames = MM.frame_sample(media, every_n=2).groupBy("doc_id").count().toPandas()
+    n0 = len(txt)
+    expected = int(np.ceil(np.ceil(n0 / 64) / 2))
+    assert frames.set_index("doc_id").loc[0, "count"] == expected
