@@ -70,16 +70,25 @@ def interpolate(
     docstring).  Adds ``<col>_filled`` per input col plus ``gap_filled``."""
     ord_w = Window.partitionBy(*partition_cols).orderBy(order_col)
     df = df.withColumn("_pos", F.row_number().over(ord_w))
+    # CRUCIAL at scale: both look-around frames must be *growing* frames
+    # (unboundedPreceding..-1), which Spark evaluates incrementally in
+    # O(n).  A (1, unboundedFollowing) frame is re-aggregated per row —
+    # O(n²) — and hangs on month-long spines; the "next non-null" leg is
+    # therefore a growing frame over the REVERSED ordering.
     w_prev = ord_w.rowsBetween(Window.unboundedPreceding, -1)
-    w_next = ord_w.rowsBetween(1, Window.unboundedFollowing)
+    w_next = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.desc(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
 
     any_filled = F.lit(False)
     for c in cols:
         pos_nn = F.when(F.col(c).isNotNull(), F.col("_pos"))
         val_prev = F.last(F.col(c), ignorenulls=True).over(w_prev)
         pos_prev = F.last(pos_nn, ignorenulls=True).over(w_prev)
-        val_next = F.first(F.col(c), ignorenulls=True).over(w_next)
-        pos_next = F.first(pos_nn, ignorenulls=True).over(w_next)
+        val_next = F.last(F.col(c), ignorenulls=True).over(w_next)
+        pos_next = F.last(pos_nn, ignorenulls=True).over(w_next)
         d_prev = F.col("_pos") - pos_prev
         d_next = pos_next - F.col("_pos")
         interp = F.when(

@@ -1,0 +1,62 @@
+"""Partitioning & skew handling (north rule: conversations range-
+partitioned by (conv_id, ts-bucket) with salting for hot conversations).
+
+Two distinct skew surfaces:
+
+  * **Relational ops** (rollup groupBy, interval joins): the bucket column
+    already splits hot conversations; AQE skew-join handles the rest.
+    Nothing custom.
+  * **Grouped pandas UDFs** (matrix profile per conv): AQE does NOT split
+    a single group.  A 10^8-turn conversation lands on one task.  The fix
+    is explicit: detect hot keys by count, then either (a) sub-key the
+    group by ts-window (the MP chunk-pair path,
+    operators/matrix_profile.matrix_profile_distributed), or (b) salt the
+    key for ops that are associative over rows (encode, per-bucket stats).
+
+Salts are deterministic (`pmod(xxhash64(...), S)`) — no rand() — so
+re-runs and checkpoint resumes see identical partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(df: DataFrame, key: str = "conv_id", threshold: int = 100_000) -> DataFrame:
+    """Conversations whose row count exceeds the per-task budget."""
+    return df.groupBy(key).count().filter(F.col("count") > threshold).select(key)
+
+
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    key: str = "conv_id",
+    threshold: int | None = None,
+    salt_col: str = "salt",
+) -> DataFrame:
+    """Deterministic salt in [0, n_salts): hash of (key, ts) so rows of a
+    hot key spread evenly.  With ``threshold``, only hot keys get salted
+    (cold keys keep salt 0 → no extra merge pass for them)."""
+    salt = F.pmod(F.xxhash64(key, "ts"), F.lit(n_salts)).cast("int")
+    if threshold is not None:
+        hot = hot_keys(df, key, threshold).withColumn("_is_hot", F.lit(True))
+        df = df.join(F.broadcast(hot), key, "left")
+        salt = F.when(F.col("_is_hot"), salt).otherwise(F.lit(0))
+        return df.withColumn(salt_col, salt).drop("_is_hot")
+    return df.withColumn(salt_col, salt)
+
+
+def range_partition_by_conv_bucket(
+    df: DataFrame, n_partitions: int, bucket_col: str = "bucket_start"
+) -> DataFrame:
+    """Range-partition on (conv_id, ts-bucket): co-locates each
+    conversation's time range, keeps bucket order within files (good for
+    chunk encode + Iceberg sort order), and bounds partition width for
+    hot conversations because the bucket participates in the range key."""
+    return df.repartitionByRange(n_partitions, "conv_id", bucket_col)
+
+
+def conv_bucket(key: str = "conv_id", n_buckets: int = 1024):
+    """Stable conversation bucket for table layout / checkpoint keys."""
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")

@@ -1,0 +1,163 @@
+"""The end-to-end rollup/downsample/retention job (north rule), runnable
+via ``spark-submit --py-files mpe.zip -m`` or directly:
+
+    python -m more_pattern_extraction_spark.plans.pipeline \
+        --input /root/testdata/sf0.1/events.parquet --output /tmp/mpe_out \
+        --cores 32
+
+Stages (each checkpointed per (conv_bucket, ts_day) unit):
+  raw turns → per-turn features (lag latency, tool flag)
+            → 1m rollup (exact partials + p95)
+            → gap-fill (spine + LOCF + linear interp limit=1)
+            → chunk encode (DoD ts + Gorilla features)
+            → cascade 1h, 1d tiers (re-agg of 1m — no raw rescans)
+            → retention filter per tier horizon
+  + lineage rows (rows in/out, content hash) and a metrics row
+  (wall s, turns/s) per run.
+
+Resume: a second invocation with the same input snapshot anti-joins the
+checkpoint table and does nothing; a partially-complete run redoes only
+missing units (tests/test_pipeline.py proves resume == cold run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.operators import chunks as CH
+from more_pattern_extraction_spark.operators import gapfill as G
+from more_pattern_extraction_spark.operators import rollup as R
+from more_pattern_extraction_spark.plans.checkpoint import CheckpointStore, content_hash
+from more_pattern_extraction_spark.sources import catalog as CAT
+
+JOB = "rollup_pipeline"
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_root: str,
+    input_snapshot: str,
+    n_buckets: int = 32,
+    latency_col: str | None = None,
+    retention: dict[str, str] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Returns run metrics dict.  ``turns``: the transcript-shaped input."""
+    t0 = time.time()
+    cp = CheckpointStore(spark, out_root)
+
+    feats = R.turn_features(turns, latency_col=latency_col)
+    feats = CAT.with_layout_cols(feats, n_buckets)  # conv_bucket, ts_day
+
+    units = feats.select("conv_bucket", F.col("ts_day").cast("timestamp").alias("ts_bucket")).distinct()
+    n_units_total = units.count()
+    if resume:
+        pending = cp.pending_units(units, JOB, "1m", input_snapshot)
+    else:
+        pending = units
+    n_pending = pending.count()
+
+    if n_pending:
+        todo = feats.join(
+            F.broadcast(
+                pending.select(
+                    "conv_bucket", F.col("ts_bucket").cast("date").alias("ts_day")
+                )
+            ),
+            ["conv_bucket", "ts_day"],
+        )
+        n_turns = todo.count()
+
+        r1m = R.rollup_from_raw(todo, "1m")
+        r1m = CAT.with_layout_cols(r1m, n_buckets)
+        CAT.write_partitioned(r1m, out_root, "rollup_1m")
+
+        filled = G.gap_fill_rollup(CAT.read_table(spark, out_root, "rollup_1m"), "1m")
+        filled = CAT.with_layout_cols(filled, n_buckets)
+        CAT.write_partitioned(filled, out_root, "rollup_1m_filled")
+
+        chunks = CH.encode_chunks(
+            CAT.read_table(spark, out_root, "rollup_1m"),
+            ["latency_avg", "latency_sum"],
+            "1m",
+        )
+        chunks = chunks.withColumn(
+            "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+        ).withColumn("ts_day", F.col("ts_bucket").cast("date"))
+        CAT.write_partitioned(chunks, out_root, "chunks_1m")
+
+        base = CAT.read_table(spark, out_root, "rollup_1m")
+        r1h = CAT.with_layout_cols(R.cascade(base, "1h"), n_buckets)
+        CAT.write_partitioned(r1h, out_root, "rollup_1h")
+        r1d = CAT.with_layout_cols(
+            R.cascade(CAT.read_table(spark, out_root, "rollup_1h"), "1d"), n_buckets
+        )
+        CAT.write_partitioned(r1d, out_root, "rollup_1d")
+
+        if retention:
+            for tier, keep_after in retention.items():
+                # metadata-only partition drop (ts_day granularity); rows
+                # inside the horizon's partial day are kept — tier horizons
+                # are day-aligned by policy
+                CAT.drop_partitions_before(out_root, f"rollup_{tier}", keep_after)
+
+        lineage = content_hash(
+            CAT.read_table(spark, out_root, "rollup_1m").withColumn(
+                "ts_bucket", F.col("ts_day").cast("timestamp")
+            ),
+            ["conv_id", "bucket_start", "turn_cnt", "latency_cnt"],
+        )
+        cp.record_lineage(JOB, "1m", input_snapshot, lineage)
+        cp.commit(pending, JOB, "1m", input_snapshot)
+    else:
+        n_turns = 0
+
+    wall = time.time() - t0
+    m = {
+        "wall_s": wall,
+        "turns": float(n_turns),
+        "turns_per_s": (n_turns / wall) if wall > 0 else 0.0,
+        "units_total": float(n_units_total),
+        "units_done": float(n_pending),
+        "units_skipped": float(n_units_total - n_pending),
+    }
+    cp.record_metrics(JOB, **m)
+    return m
+
+
+def main() -> None:
+    from more_pattern_extraction_spark.session import get_spark
+    from more_pattern_extraction_spark.sources.transcripts import events_as_transcripts
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="events.parquet or transcripts dir")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--n-buckets", type=int, default=32)
+    args = ap.parse_args()
+
+    spark = get_spark("rollup_pipeline", cores=args.cores)
+    if args.input.endswith("events.parquet"):
+        turns = events_as_transcripts(spark, args.input.rsplit("/", 1)[0])
+        latency_col = "latency"
+    else:
+        turns = spark.read.parquet(args.input)
+        latency_col = None
+    snap = CAT.snapshot_id(args.input)
+    m = run_pipeline(
+        spark, turns, args.output, snap,
+        n_buckets=args.n_buckets, latency_col=latency_col,
+        resume=not args.no_resume,
+    )
+    print({k: round(v, 2) for k, v in m.items()})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Storage-format seam (SURVEY §7.0): Iceberg when its runtime jar is on
+the classpath, Parquet-with-Iceberg-layout otherwise (this sandbox).
+
+Tables are partitioned by (conv_bucket, ts_day) — the Iceberg spec would
+be ``bucket(N, conv_id), days(ts)``; the Parquet fallback materializes the
+same two columns and relies on Catalyst partition pruning, so queries and
+the checkpoint/retention logic are identical across backends.  Writes use
+dynamic partition overwrite = the Parquet stand-in for Iceberg's atomic
+partition-level commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def table_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    root: str,
+    name: str,
+    partition_cols: tuple[str, ...] = ("conv_bucket", "ts_day"),
+    mode: str = "overwrite",
+) -> None:
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(table_path(root, name))
+    )
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(root, name))
+
+
+def snapshot_id(path: str) -> str:
+    """Input snapshot surrogate for plain Parquet inputs: hash of the file
+    listing + mtimes + sizes (an Iceberg catalog supplies a real snapshot
+    id here)."""
+    import hashlib
+
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root_, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                p = os.path.join(root_, f)
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_mtime_ns}:{st.st_size}".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{path}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()
+
+
+def drop_partitions_before(root: str, name: str, horizon: str) -> int:
+    """Retention as partition deletion: remove ts_day=<d> directories with
+    d < horizon — the Parquet stand-in for Iceberg's metadata-only
+    ``DELETE WHERE ts_day < horizon`` + snapshot expiry.  Returns the
+    number of dropped partitions."""
+    import shutil
+    from datetime import date
+
+    hor = date.fromisoformat(horizon[:10])
+    base = table_path(root, name)
+    dropped = 0
+    if not os.path.isdir(base):
+        return 0
+    for cb in os.listdir(base):
+        cb_path = os.path.join(base, cb)
+        if not (os.path.isdir(cb_path) and cb.startswith("conv_bucket=")):
+            continue
+        for td in os.listdir(cb_path):
+            if td.startswith("ts_day="):
+                if date.fromisoformat(td.split("=", 1)[1]) < hor:
+                    shutil.rmtree(os.path.join(cb_path, td))
+                    dropped += 1
+    return dropped
+
+
+def with_layout_cols(df: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Attach the physical layout columns (conv_bucket, ts_day)."""
+    ts_col = "bucket_start" if "bucket_start" in df.columns else "ts"
+    return df.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("ts_day", F.date_trunc("day", F.col(ts_col)).cast("date"))

@@ -1,0 +1,87 @@
+"""End-to-end pipeline: cold run, no-op resume, and interrupted-resume ==
+cold-run equivalence (north rule: per-partition checkpoint/lineage/metrics)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.plans.pipeline import run_pipeline
+from more_pattern_extraction_spark.sources import catalog as CAT
+
+
+@pytest.fixture()
+def out(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _table_digest(spark, root, name):
+    df = CAT.read_table(spark, root, name)
+    cols = [c for c in df.columns if c not in ("tier",)]
+    return (
+        df.select(
+            F.sum(
+                F.pmod(
+                    F.xxhash64(*[F.col(c).cast("string") for c in sorted(cols)]),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+
+
+def test_cold_run_and_noop_resume(spark, transcripts, out):
+    m1 = run_pipeline(spark, transcripts, out, input_snapshot="snapA", n_buckets=8)
+    assert m1["units_done"] > 0 and m1["turns"] > 0
+    for t in ["rollup_1m", "rollup_1m_filled", "chunks_1m", "rollup_1h", "rollup_1d"]:
+        assert CAT.read_table(spark, out, t).count() > 0, t
+    d1 = _table_digest(spark, out, "rollup_1m")
+
+    m2 = run_pipeline(spark, transcripts, out, input_snapshot="snapA", n_buckets=8)
+    assert m2["units_done"] == 0 and m2["units_skipped"] == m1["units_total"]
+    d2 = _table_digest(spark, out, "rollup_1m")
+    assert d1 == d2  # tables untouched
+
+    # lineage + metrics tables populated
+    store_metrics = spark.read.parquet(f"{out}/metrics")
+    assert store_metrics.count() == 2
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.count() > 0
+    assert set(lineage.columns) >= {"conv_bucket", "ts_bucket", "rows_out", "content_hash"}
+
+
+def test_interrupted_resume_equals_cold(spark, transcripts, out, tmp_path):
+    cold_root = str(tmp_path / "cold")
+    run_pipeline(spark, transcripts, cold_root, input_snapshot="snapB", n_buckets=8)
+
+    # simulate an interrupted run: only the first day completed
+    day1 = transcripts.filter(F.col("ts") < "2024-01-02")
+    m_part = run_pipeline(spark, transcripts.filter(F.col("ts") < "2024-01-02"),
+                          out, input_snapshot="snapB", n_buckets=8)
+    assert m_part["units_done"] > 0
+    # resume with the FULL input under the same snapshot: only the
+    # remaining (conv_bucket, day) units are recomputed
+    m_res = run_pipeline(spark, transcripts, out, input_snapshot="snapB", n_buckets=8)
+    assert 0 < m_res["units_done"] < m_res["units_total"]
+    assert m_res["units_done"] + m_res["units_skipped"] == m_res["units_total"]
+
+    for t in ["rollup_1m", "rollup_1h", "rollup_1d"]:
+        a, b = _table_digest(spark, out, t), _table_digest(spark, cold_root, t)
+        assert a == b, t
+
+
+def test_new_snapshot_recomputes(spark, transcripts, out):
+    m1 = run_pipeline(spark, transcripts, out, input_snapshot="s1", n_buckets=8)
+    m2 = run_pipeline(spark, transcripts, out, input_snapshot="s2", n_buckets=8)
+    assert m2["units_done"] == m1["units_done"]  # new snapshot = fresh work
+
+
+def test_retention(spark, transcripts, out):
+    run_pipeline(
+        spark, transcripts, out, input_snapshot="s3", n_buckets=8,
+        retention={"1m": "2024-01-02 00:00:00"},
+    )
+    r1m = CAT.read_table(spark, out, "rollup_1m")
+    assert r1m.filter("bucket_start < timestamp '2024-01-02'").count() == 0
+    assert r1m.count() > 0
