@@ -1,0 +1,105 @@
+"""Headline benchmark (driver contract): runs the engine's flagship
+operators at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "throughput": {...rows/sec for the rollup path...}}
+
+Measures compute, not tiny-file IO: results are drained with count()
+(actions force the full plan; AQE on).  Scaling-efficiency evidence
+(local[8] vs local[32]) is scripts/bench_scaling.py → BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from more_pattern_extraction_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    from more_pattern_extraction_spark.operators import chunks as CH
+    from more_pattern_extraction_spark.operators import dedup as DD
+    from more_pattern_extraction_spark.operators import gapfill as G
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+    from more_pattern_extraction_spark.operators import rollup as R
+    from more_pattern_extraction_spark.operators import similarity_search as SS
+    from more_pattern_extraction_spark.sources.transcripts import events_as_transcripts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()  # warm the scan
+    turns = events_as_transcripts(spark, sf_dir)
+    feats = R.turn_features(turns, latency_col="latency")
+
+    timings: dict[str, float] = {}
+
+    def bench(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    # A1: 1m rollup over the full stream (the headline metric's numerator)
+    r1m = R.rollup_from_raw(feats, "1m")
+    bench("rollup_1m", lambda: r1m.count())
+    # cascade 1m→1h→1d (re-agg only)
+    bench("rollup_cascade", lambda: R.cascade(R.cascade(r1m, "1h"), "1d").count())
+    # gap-fill one day of the grid (spine + LOCF + interp, all windows)
+    day1 = r1m.filter(F.col("bucket_start") < "2024-01-03")
+    bench("gapfill_2d", lambda: G.gap_fill_rollup(day1, "1m").count())
+    # chunk codec round trip (DoD + Gorilla via pandas UDFs)
+    bench(
+        "chunks_roundtrip",
+        lambda: CH.decode_chunks(
+            CH.encode_chunks(r1m, ["latency_avg", "latency_sum"], "1m")
+        ).count(),
+    )
+    # W1: matrix profile per conversation (grouped STOMP kernel)
+    series = turns.select(
+        "conv_id", F.col("ts").alias("bucket_start"),
+        F.col("latency").alias("latency_avg_filled"),
+    ).na.drop(subset=["latency_avg_filled"])
+    bench("matrix_profile", lambda: MP.matrix_profile(series, 16).count())
+    # dedup: MinHash-LSH near-dup pairs over documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench(
+        "dedup_minhash_lsh",
+        lambda: DD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count(),
+    )
+    # ANN: brute-force cosine top-k over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    bench("embedding_topk", lambda: SS.cosine_topk(emb, q, k=5).count())
+
+    total = round(sum(timings.values()), 3)
+    rollup_path_s = timings["rollup_1m"] + timings["rollup_cascade"]
+    out = {
+        "metric": "headline_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "throughput": {
+            "events": n_events,
+            "rollup_turns_per_s": round(n_events / max(rollup_path_s, 1e-9), 1),
+        },
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,30 +60,33 @@ def encode_chunks(
     unit = chunk_unit or _CHUNK_UNIT[tier]
     feats = list(features)
 
+    # group by conv_id ONLY: applyInPandas pays one JVM↔Python Arrow round
+    # trip per group (~5-10 ms); with (conv, day) keys that overhead
+    # dominates (thousands of tiny groups).  The per-chunk split happens
+    # inside pandas.  A conversation's whole tier-grid must fit one task —
+    # for 1m tiers that is 1440 rows/day; genuinely hot multi-year convs
+    # would sub-key on a coarser ts window first (plans/partitioning).
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_start")
-        ts = pdf["bucket_start"].astype("datetime64[ns]").astype("int64").to_numpy()  # epoch ns
-        ts_dod = encode_dod(ts)
         rows = []
-        for f in feats:
-            vals = pdf[f].to_numpy(dtype="float64", na_value=float("nan"))
-            rows.append(
-                {
-                    "conv_id": pdf["conv_id"].iloc[0],
-                    "ts_bucket": pdf["ts_bucket"].iloc[0],
-                    "tier": tier,
-                    "feature": f,
-                    "n": len(pdf),
-                    "first_ts": pdf["bucket_start"].iloc[0],
-                    "first_value": float(vals[0]) if len(vals) else None,
-                    "ts_dod": ts_dod,
-                    "values_gorilla": encode_gorilla(vals),
-                }
-            )
-        return pd.DataFrame(rows)
+        for (conv, tsb), g in pdf.groupby(["conv_id", "ts_bucket"], sort=False):
+            ts = g["bucket_start"].astype("datetime64[ns]").astype("int64").to_numpy()
+            ts_dod = encode_dod(ts)
+            for f in feats:
+                vals = g[f].to_numpy(dtype="float64", na_value=float("nan"))
+                rows.append(
+                    (conv, tsb, tier, f, len(g), g["bucket_start"].iloc[0],
+                     float(vals[0]) if len(vals) else None, ts_dod,
+                     encode_gorilla(vals))
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["conv_id", "ts_bucket", "tier", "feature", "n",
+                     "first_ts", "first_value", "ts_dod", "values_gorilla"],
+        )
 
     keyed = rollup.withColumn("ts_bucket", F.date_trunc(unit, "bucket_start"))
-    return keyed.groupBy("conv_id", "ts_bucket").applyInPandas(enc, CHUNK_SCHEMA)
+    return keyed.groupBy("conv_id").applyInPandas(enc, CHUNK_SCHEMA)
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:
@@ -93,22 +96,28 @@ def decode_chunks(chunks: DataFrame) -> DataFrame:
     partitioning the chunk table has (no shuffle)."""
 
     def dec(batches):
+        import numpy as np
+
         for pdf in batches:
-            out = []
+            # bulk-build one frame per Arrow batch (a per-chunk-row
+            # DataFrame + concat costs ~5 ms/row — 50x slower)
+            ts_parts, val_parts, convs, feats_ = [], [], [], []
             for r in pdf.itertuples(index=False):
-                ts = decode_dod(bytes(r.ts_dod), r.n)
-                vals = decode_gorilla(bytes(r.values_gorilla), r.n)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": r.conv_id,
-                            "feature": r.feature,
-                            "bucket_start": pd.to_datetime(ts, unit="ns"),
-                            "value": vals,
-                        }
-                    )
+                ts_parts.append(decode_dod(bytes(r.ts_dod), r.n))
+                val_parts.append(decode_gorilla(bytes(r.values_gorilla), r.n))
+                convs.append(r.conv_id)
+                feats_.append(r.feature)
+            if ts_parts:
+                ns = [len(t) for t in ts_parts]
+                yield pd.DataFrame(
+                    {
+                        "conv_id": np.repeat(np.array(convs, dtype=object), ns),
+                        "feature": np.repeat(np.array(feats_, dtype=object), ns),
+                        "bucket_start": pd.to_datetime(
+                            np.concatenate(ts_parts), unit="ns"
+                        ),
+                        "value": np.concatenate(val_parts),
+                    }
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
     return chunks.mapInPandas(dec, DECODE_SCHEMA)

@@ -39,6 +39,10 @@ def bucket_spine(rollup: DataFrame, tier: str = "1m") -> DataFrame:
     bounds = rollup.groupBy("conv_id").agg(
         F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1")
     )
+    # the bounds table is tiny (one row per conv) and AQE would coalesce it
+    # to one partition — but the explode below fans each row out to up to
+    # 10^5+ spine rows, so spread conversations across tasks FIRST
+    bounds = bounds.repartition("conv_id")
     return bounds.select(
         "conv_id",
         F.explode(

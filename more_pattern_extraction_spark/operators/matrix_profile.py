@@ -52,27 +52,45 @@ def matrix_profile(
     value_col: str = "latency_avg_filled",
     ez: int | None = None,
     order_col: str = "bucket_start",
+    window: str | None = None,
 ) -> DataFrame:
-    """Per-conversation self-join MP: (conv_id, pos, mp, pi)."""
+    """Per-conversation self-join MP: (conv_id, pos, mp, pi).
+
+    ``window`` (e.g. ``"week"``/``"day"``): compute the profile per
+    (conv_id, date_trunc(window, order_col)) instead of per whole
+    conversation — the production shape for unbounded/hot conversations
+    (the reference's m=1-day profile over bounded series slices), and the
+    skew guard: a 10^8-turn conversation becomes many bounded tasks
+    instead of one O(n²) monster.  Motifs crossing window borders need the
+    exact distributed path (matrix_profile_distributed)."""
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
+        out_cols = {
+            "conv_id": pd.Series(dtype="str"), "pos": pd.Series(dtype="int32"),
+            "mp": pd.Series(dtype="float64"), "pi": pd.Series(dtype="int64"),
+        }
+        if window:
+            out_cols["win"] = pd.Series(dtype="datetime64[ns]")
         t = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
         if len(t) < m:
-            return pd.DataFrame(
-                {"conv_id": pd.Series(dtype="str"), "pos": pd.Series(dtype="int32"),
-                 "mp": pd.Series(dtype="float64"), "pi": pd.Series(dtype="int64")}
-            )
+            return pd.DataFrame(out_cols)
         mp, pi = stomp(t, m, ez)
-        return pd.DataFrame(
-            {
-                "conv_id": pdf["conv_id"].iloc[0],
-                "pos": np.arange(len(mp), dtype="int32"),
-                "mp": mp,
-                "pi": pi,
-            }
-        )
+        out = {
+            "conv_id": pdf["conv_id"].iloc[0],
+            "pos": np.arange(len(mp), dtype="int32"),
+            "mp": mp,
+            "pi": pi,
+        }
+        if window:
+            out["win"] = pdf["_win"].iloc[0]
+        return pd.DataFrame(out)
 
+    if window:
+        keyed = grid.withColumn("_win", F.date_trunc(window, F.col(order_col)))
+        return keyed.groupBy("conv_id", "_win").applyInPandas(
+            f, MP_SCHEMA + ", win timestamp"
+        )
     return grid.groupBy("conv_id").applyInPandas(f, MP_SCHEMA)
 
 

@@ -28,6 +28,10 @@ def get_spark(
     """
     master = f"local[{cores}]" if cores else "local[*]"
     n_shuffle = shuffle_partitions or cores or (os.cpu_count() or 8)
+    # one BLAS thread per python worker: the task IS the parallelism unit;
+    # nested BLAS threading makes N workers × M threads thrash the box
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

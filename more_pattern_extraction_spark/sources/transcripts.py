@@ -41,8 +41,12 @@ def generate_transcripts(
     hot_mult: int = 50,
     start_ts: str = "2024-01-01 00:00:00",
     seed: int = 42,
+    gap_max_s: int = 2100,
+    long_gaps: bool = True,
 ) -> DataFrame:
-    """Seeded transcript table; same args → bit-identical rows."""
+    """Seeded transcript table; same args → bit-identical rows.
+    ``gap_max_s``/``long_gaps`` control inter-turn gap spread (long_gaps
+    plants multi-hour holes to exercise gap-fill limit semantics)."""
     convs = (
         spark.range(n_convs)
         .withColumn("conv_id", F.format_string("conv_%05d", F.col("id")))
@@ -63,12 +67,13 @@ def generate_transcripts(
         F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
     )
     h = F.xxhash64("conv_id", "turn_idx", F.lit(seed))
-    # irregular gap seconds in [5, 2100); every ~29th turn adds a 2-7 h gap
-    # (guaranteed missing 1m buckets).
-    gap_s = F.pmod(h, F.lit(2095)) + 5
-    gap_s = F.when(
-        F.pmod(h, F.lit(29)) == 0, gap_s + 7200 + F.pmod(h, F.lit(18000))
-    ).otherwise(gap_s)
+    # irregular gap seconds in [5, gap_max_s); with long_gaps, every ~29th
+    # turn adds a 2-7 h gap (guaranteed missing 1m buckets).
+    gap_s = F.pmod(h, F.lit(max(gap_max_s - 5, 1))) + 5
+    if long_gaps:
+        gap_s = F.when(
+            F.pmod(h, F.lit(29)) == 0, gap_s + 7200 + F.pmod(h, F.lit(18000))
+        ).otherwise(gap_s)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     role = F.element_at(
         F.array(*[F.lit(r) for r in ROLES]),

@@ -1,0 +1,120 @@
+"""stats operators (A4/A5/A9), readers (S6/S7), subspace (W12), and the
+Structured-Streaming rollup (stream result == batch rollup)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.functions.kernels import subspace_kernel
+from more_pattern_extraction_spark.operators import stats as ST
+
+
+def test_regression_scores_match_numpy(spark):
+    rng = np.random.default_rng(31)
+    y = rng.normal(50, 10, 500)
+    p = y + rng.normal(0, 2, 500)
+    df = spark.createDataFrame(pd.DataFrame({"y": y, "p": p}))
+    r = ST.regression_scores(df, "y", "p").collect()[0]
+    ss_res = ((y - p) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    np.testing.assert_allclose(r.r2, 1 - ss_res / ss_tot, rtol=1e-6)
+    np.testing.assert_allclose(r.mae, np.abs(y - p).mean(), rtol=1e-9)
+    np.testing.assert_allclose(r.me, (y - p).mean(), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(r.mape, np.abs(y - p).mean() / y.mean(), rtol=1e-9)
+    np.testing.assert_allclose(r.mpe, (y - p).mean() / y.mean(), rtol=1e-6, atol=1e-9)
+
+
+def test_classification_scores(spark):
+    # hand-built confusion: tp=3 fp=1 fn=2 tn=4
+    rows = [(1, 1)] * 3 + [(0, 1)] * 1 + [(1, 0)] * 2 + [(0, 0)] * 4
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["actual", "pred"]))
+    r = ST.classification_scores(df, "actual", "pred").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (3, 1, 2, 4)
+    prec, rec = 3 / 4, 3 / 5
+    np.testing.assert_allclose(r.f1, 2 * prec * rec / (prec + rec))
+    np.testing.assert_allclose(r.accuracy, 0.7)
+    np.testing.assert_allclose(r.hamming_loss, 0.3)
+    np.testing.assert_allclose(r.jaccard, 3 / 6)
+    np.testing.assert_allclose(r.balanced_accuracy, (rec + 4 / 5) / 2)
+    pe = (4 * 5 + 6 * 5) / 100
+    np.testing.assert_allclose(r.cohen_kappa, (0.7 - pe) / (1 - pe))
+
+
+def test_multi_corr_matches_numpy(spark):
+    rng = np.random.default_rng(32)
+    x1, x2 = rng.normal(0, 1, 400), rng.normal(0, 1, 400)
+    y = 2 * x1 - x2 + rng.normal(0, 0.5, 400)
+    df = spark.createDataFrame(pd.DataFrame({"y": y, "x1": x1, "x2": x2}))
+    got = ST.multi_corr(df, "y", ["x1", "x2"])
+    corr = np.corrcoef(np.c_[y, x1, x2].T)
+    exp = corr[1:, 0] @ np.linalg.inv(corr[1:, 1:]) @ corr[1:, 0]
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+
+
+def test_top_deviations(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"seg": range(6), "mpe": [0.5, -0.9, 0.1, -0.3, 0.0, -2.0]})
+    )
+    got = [r.seg for r in ST.top_deviations(df, "mpe", n=2).collect()]
+    assert got == [5, 1]
+
+
+def test_subspace_kernel():
+    rng = np.random.default_rng(33)
+    n, m = 200, 20
+    base = np.sin(np.arange(n) * 0.3)
+    ts = np.vstack([
+        base + rng.normal(0, 0.01, n),     # dim 0: shares the motif
+        rng.normal(0, 1, n),               # dim 1: noise
+        base + rng.normal(0, 0.01, n),     # dim 2: shares the motif
+    ])
+    # plant motif at 40 and 120 in dims 0,2
+    s = subspace_kernel(ts, m, 40, 120, k=1)
+    assert set(s) == {0, 2}
+    s_inc = subspace_kernel(ts, m, 40, 120, k=1, include=[1])
+    assert s_inc[0] == 1
+
+
+def test_ragged_csv_reader(spark, tmp_path):
+    from more_pattern_extraction_spark.sources.readers import parse_ragged_csv
+
+    p = tmp_path / "ragged.csv"
+    p.write_text(
+        "a,2024-01-01,1.5,2.5,3.5\n"
+        "b,2024-01-02,4.0,-9999,6.0,7.0\n"
+        "c,2024-01-03,9.0\n"
+    )
+    df = parse_ragged_csv(spark, str(p), meta_cols=2).orderBy("meta_0")
+    rows = df.collect()
+    assert [r.curve_len for r in rows] == [3, 4, 1]
+    assert rows[1].curve[1] is None  # sentinel → NULL
+    assert rows[0].curve == [1.5, 2.5, 3.5]
+
+
+def test_streaming_rollup_matches_batch(spark, transcripts, tmp_path):
+    from more_pattern_extraction_spark.streaming.rollup_stream import (
+        run_stream_to_memory,
+    )
+
+    src = str(tmp_path / "stream_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    run_stream_to_memory(spark, src, schema, query_name="t_stream")
+    got = (
+        spark.sql("select conv_id, bucket_start, turn_cnt, tool_call_cnt from t_stream")
+        .orderBy("conv_id", "bucket_start")
+        .toPandas()
+    )
+    exp = (
+        transcripts.groupBy(
+            "conv_id", F.date_trunc("minute", "ts").alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("turn_cnt"),
+            F.sum(F.col("tool").isNotNull().cast("int")).alias("tool_call_cnt"),
+        )
+        .orderBy("conv_id", "bucket_start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
