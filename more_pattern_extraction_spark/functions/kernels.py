@@ -117,14 +117,37 @@ def _zdist_block(
     return d
 
 
+def _znorm_windows(t: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """(l × m) matrix of z-normalized windows + constant-window mask.
+    Constant windows become zero rows (their dot with anything is 0)."""
+    mu, sig = sliding_mean_std(t, m)
+    W = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(t, m))
+    const = sig < _EPS
+    safe = np.where(const, 1.0, sig)
+    Wz = (W - mu[:, None]) / safe[:, None]
+    Wz[const] = 0.0
+    return Wz, const
+
+
+def _apply_const_convention(qt: np.ndarray, r_const: np.ndarray, c_const: np.ndarray, m: int) -> None:
+    """Map the stumpy constant-window convention into qt space, where
+    d = sqrt(2·(m − qt)) is monotone-decreasing in qt:
+    const↔const → d 0 (qt=m); const↔non-const → d sqrt(m) (qt=m/2)."""
+    if c_const.any():
+        qt[:, c_const] = m / 2.0
+    if r_const.any():
+        qt[r_const] = np.where(c_const, float(m), m / 2.0)[None, :]
+
+
 def stomp(t: np.ndarray, m: int, ez: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Self-join matrix profile: (distances, nearest-neighbor indices).
 
-    Blocked-BLAS formulation: all-pairs window dot products are row-block
-    matmuls of the (l × m) sliding-window matrix — one BLAS call per block
-    instead of one python-level QT recurrence per row (the recurrence
-    variant spent ~100 µs/row on numpy dispatch; per-conversation-day
-    profiles are 50x faster this way).  Exact same distances.
+    Blocked-BLAS formulation: windows are z-normalized ONCE, so each row
+    block is a single compute-bound GEMM (dot of z-normed windows), an
+    exclusion mask, and a row argmax — d = sqrt(2(m − qt)) is computed
+    only for the winners.  This keeps 32 cores busy on FLOPs instead of
+    saturating the memory bus with full distance-matrix passes (the
+    dominant scaling limiter before).
     """
     t = np.asarray(t, dtype=np.float64)
     n = len(t)
@@ -133,22 +156,21 @@ def stomp(t: np.ndarray, m: int, ez: int | None = None) -> tuple[np.ndarray, np.
         return np.empty(0), np.empty(0, dtype=np.int64)
     if ez is None:
         ez = int(np.ceil(m / 4))
-    mu, sig = sliding_mean_std(t, m)
-    W = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(t, m))
-    WT = W.T
+    Wz, const = _znorm_windows(t, m)
+    WzT = Wz.T
     mp = np.full(l, np.inf)
     pi = np.full(l, -1, dtype=np.int64)
     b = _block_rows(l)
     for i0 in range(0, l, b):
         i1 = min(i0 + b, l)
-        qt = W[i0:i1] @ WT
-        d = _zdist_block(qt, m, mu[i0:i1], sig[i0:i1], mu, sig)
+        qt = Wz[i0:i1] @ WzT
+        _apply_const_convention(qt, const[i0:i1], const, m)
         for i in range(i0, i1):
-            d[i - i0, max(0, i - ez) : min(l, i + ez + 1)] = np.inf
-        j = np.argmin(d, axis=1)
-        vals = d[np.arange(i1 - i0), j]
-        fin = np.isfinite(vals)
-        mp[i0:i1][fin] = vals[fin]
+            qt[i - i0, max(0, i - ez) : min(l, i + ez + 1)] = -np.inf
+        j = np.argmax(qt, axis=1)
+        best = qt[np.arange(i1 - i0), j]
+        fin = np.isfinite(best)
+        mp[i0:i1][fin] = np.sqrt(np.clip(2.0 * (m - best[fin]), 0.0, None))
         pi[i0:i1][fin] = j[fin]
     return mp, pi
 
@@ -235,25 +257,24 @@ def stomp_ab(
     pi = np.full(la, -1, dtype=np.int64)
     if la < 1 or lb < 1:
         return mp, pi
-    mu_a, sig_a = sliding_mean_std(ta, m)
-    mu_b, sig_b = sliding_mean_std(tb, m)
-    Wa = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(ta, m))
-    WbT = np.ascontiguousarray(np.lib.stride_tricks.sliding_window_view(tb, m)).T
+    Wa, const_a = _znorm_windows(ta, m)
+    Wb, const_b = _znorm_windows(tb, m)
+    WbT = Wb.T
     jg = offset_b + np.arange(lb)
     b = _block_rows(lb)
     for i0 in range(0, la, b):
         i1 = min(i0 + b, la)
         qt = Wa[i0:i1] @ WbT
-        d = _zdist_block(qt, m, mu_a[i0:i1], sig_a[i0:i1], mu_b, sig_b)
+        _apply_const_convention(qt, const_a[i0:i1], const_b, m)
         for i in range(i0, i1):
             ig = offset_a + i
             lo = np.searchsorted(jg, ig - ez)
             hi = np.searchsorted(jg, ig + ez, side="right")
-            d[i - i0, lo:hi] = np.inf
-        j = np.argmin(d, axis=1)
-        vals = d[np.arange(i1 - i0), j]
-        fin = np.isfinite(vals)
-        mp[i0:i1][fin] = vals[fin]
+            qt[i - i0, lo:hi] = -np.inf
+        j = np.argmax(qt, axis=1)
+        best = qt[np.arange(i1 - i0), j]
+        fin = np.isfinite(best)
+        mp[i0:i1][fin] = np.sqrt(np.clip(2.0 * (m - best[fin]), 0.0, None))
         pi[i0:i1][fin] = jg[j[fin]]
     return mp, pi
 
@@ -390,6 +411,30 @@ def top_k_motifs_kernel(
         for p in [i, j, *neighbors]:
             apply_exclusion(mp, p, ez)
     return out
+
+
+def complexity_av(t: np.ndarray, m: int) -> np.ndarray:
+    """Complexity annotation vector (reference W3, compute_mp_av,
+    patterns.py:68-93 / the matrixprofile-foundation 'complexity' AV):
+    per-window complexity = sqrt(sum(diff²)), min-max normalized to
+    [0, 1].  Computed via cumsum — O(n)."""
+    t = np.asarray(t, dtype=np.float64)
+    d2 = np.diff(t) ** 2
+    cs = np.concatenate([[0.0], np.cumsum(d2)])
+    l = len(t) - m + 1
+    comp = np.sqrt(cs[m - 1 :][:l] - cs[:l])
+    lo, hi = comp.min(), comp.max()
+    if hi - lo < _EPS:
+        return np.ones(l)
+    return (comp - lo) / (hi - lo)
+
+
+def apply_av(mp: np.ndarray, av: np.ndarray) -> np.ndarray:
+    """Corrected matrix profile: cmp = mp + (1 − av)·max(mp)
+    (patterns.py:68-93; genlib.py:116-119) — de-prioritizes low-complexity
+    (flat) windows in motif ranking."""
+    mx = np.nanmax(np.where(np.isfinite(mp), mp, np.nan))
+    return mp + (1.0 - av) * mx
 
 
 def subspace_kernel(

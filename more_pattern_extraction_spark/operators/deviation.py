@@ -1,0 +1,159 @@
+"""Deviation / changepoint scoring pipelines (reference entry point C,
+SURVEY §3.3: ``modules/learning.py:98-228`` train_on_reference_points /
+predict_on_sliding_windows / changepoint_scores; scored with
+``modules/statistics.py`` and ranked by ``get_top_deviations``).
+
+The reference fits per-window polynomial-Ridge models; here the fit is the
+closed-form degree-1 OLS (the reference's get_line_and_slope,
+learning.py:76-96) expressed as window aggregates — 100 % Catalyst, no
+UDF.  Each hopping window carries (slope, intercept, scores); deviation
+score = -(mpe · min(slope, 0)) exactly as deviation_detection.ipynb cell
+11 (penalise under-prediction with downward trend).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_reference_model(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    ref_filter,
+) -> DataFrame:
+    """Global OLS fit y = a + b·x on reference rows (the reference's
+    train_on_reference_points): returns a 1-row DataFrame (slope,
+    intercept) — broadcast back for prediction."""
+    r = df.filter(ref_filter)
+    x, y = F.col(x_col), F.col(y_col)
+    return r.agg(
+        (
+            (F.avg(x * y) - F.avg(x) * F.avg(y))
+            / (F.avg(x * x) - F.avg(x) * F.avg(x))
+        ).alias("slope"),
+        F.lit(None).cast("double").alias("_tmp"),
+        F.avg(y).alias("_my"),
+        F.avg(x).alias("_mx"),
+    ).select(
+        "slope", (F.col("_my") - F.col("slope") * F.col("_mx")).alias("intercept")
+    )
+
+
+def predict_on_sliding_windows(
+    df: DataFrame,
+    model: DataFrame,
+    y_col: str,
+    x_col: str,
+    window_size: str = "90 days",
+    hop: str = "30 days",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hopping-window residual scoring (learning.py:144-178): per window,
+    R²/MAE/ME/MAPE/MPE of the broadcast reference model's predictions."""
+    p = df.crossJoin(F.broadcast(model)).withColumn(
+        "pred", F.col("intercept") + F.col("slope") * F.col(x_col)
+    )
+    y, pr = F.col(y_col), F.col("pred")
+    win = F.window("ts", window_size, hop).alias("win")
+    return (
+        p.groupBy(*group_cols, win)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (1 - F.sum((y - pr) * (y - pr))
+             / (F.sum(y * y) - F.count(F.lit(1)) * F.avg(y) * F.avg(y))).alias("r2"),
+            F.avg(F.abs(y - pr)).alias("mae"),
+            F.avg(y - pr).alias("me"),
+            (F.avg(F.abs(y - pr)) / F.avg(y)).alias("mape"),
+            (F.avg(y - pr) / F.avg(y)).alias("mpe"),
+            # closed-form slope of the residual inside the window, x = ts
+            ((F.avg(F.col(x_col) * (y - pr)) - F.avg(x_col) * F.avg(y - pr))
+             / (F.avg(F.col(x_col) * F.col(x_col)) - F.avg(x_col) * F.avg(x_col))
+             ).alias("res_slope"),
+        )
+        .select(
+            *group_cols, F.col("win.start").alias("win_start"),
+            "n", "r2", "mae", "me", "mape", "mpe", "res_slope",
+        )
+    )
+
+
+def deviation_score(windows: DataFrame) -> DataFrame:
+    """score = -(mpe · min(res_slope, 0)) (deviation_detection.ipynb cell
+    11): large when the model over-predicts AND the residual trends down.
+    Rank ascending like get_top_deviations (most negative first)."""
+    return windows.withColumn(
+        "dev_score", -(F.col("mpe") * F.least(F.col("res_slope"), F.lit(0.0)))
+    )
+
+
+def changepoint_event_scores(
+    df: DataFrame,
+    events: DataFrame,
+    y_col: str,
+    x_col: str,
+    train_w: str = "7 days",
+    val_w: str = "2 days",
+    test_w: str = "2 days",
+) -> DataFrame:
+    """Per labeled event (changepoint_scores, learning.py:180-228): fit OLS
+    on [event − train_w − val_w, event − val_w), validate on
+    [event − val_w, event), test on [event, event + test_w); emit
+    val/test error measures + the ratio used for ranking
+    (changepoint_detection.ipynb cells 28-36).
+
+    events: (event_id, event_ts [, join cols]).  Small → broadcast; each
+    data row joins the events whose windows cover it (range join), tagged
+    with its split, then one groupBy computes every per-event per-split
+    score.  ``on_cols`` adds equality conditions (e.g. conv key) so events
+    only see their own series.
+    """
+    on_cols: tuple[str, ...] = tuple(
+        c for c in events.columns if c not in ("event_id", "event_ts")
+    )
+    cond = (
+        F.col("ts") >= F.col("event_ts") - F.expr(f"INTERVAL {train_w}")
+        - F.expr(f"INTERVAL {val_w}")
+    ) & (F.col("ts") < F.col("event_ts") + F.expr(f"INTERVAL {test_w}"))
+    ev = F.broadcast(events.withColumnsRenamed({c: f"_ev_{c}" for c in on_cols}))
+    for c in on_cols:
+        cond = cond & (F.col(c) == F.col(f"_ev_{c}"))
+    e = df.join(ev, cond).withColumn(
+        "split",
+        F.when(
+            F.col("ts") < F.col("event_ts") - F.expr(f"INTERVAL {val_w}"), "train"
+        )
+        .when(F.col("ts") < F.col("event_ts"), "val")
+        .otherwise("test"),
+    )
+    x, y = F.col(x_col), F.col(y_col)
+    fit = (
+        e.filter(F.col("split") == "train")
+        .groupBy("event_id")
+        .agg(
+            ((F.avg(x * y) - F.avg(x) * F.avg(y))
+             / (F.avg(x * x) - F.avg(x) * F.avg(x))).alias("slope"),
+            (F.avg(y)).alias("_my"),
+            (F.avg(x)).alias("_mx"),
+        )
+        .select(
+            "event_id", "slope",
+            (F.col("_my") - F.col("slope") * F.col("_mx")).alias("intercept"),
+        )
+    )
+    scored = e.filter(F.col("split") != "train").join(F.broadcast(fit), "event_id")
+    pr = F.col("intercept") + F.col("slope") * x
+    per_split = scored.groupBy("event_id", "split").agg(
+        F.avg(y - pr).alias("me"),
+        (F.avg(F.abs(y - pr)) / F.avg(y)).alias("mape"),
+    )
+    val = per_split.filter("split = 'val'").select(
+        "event_id", F.col("me").alias("val_me"), F.col("mape").alias("val_mape")
+    )
+    test = per_split.filter("split = 'test'").select(
+        "event_id", F.col("me").alias("test_me")
+    )
+    return val.join(test, "event_id").withColumn(
+        "ratio", (F.col("test_me") - F.col("val_me")) / F.abs(F.col("val_me"))
+    )

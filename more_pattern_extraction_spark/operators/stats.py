@@ -49,21 +49,23 @@ def classification_scores(
     )
     tp, fp, fn, tn = (F.col(x).cast("double") for x in ("tp", "fp", "fn", "tn"))
     n = tp + fp + fn + tn
-    prec = tp / (tp + fp)
-    rec = tp / (tp + fn)
-    spec = tn / (tn + fp)
-    acc = (tp + tn) / n
-    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    # try_divide: empty/degenerate confusion cells → NULL metric (ANSI-safe;
+    # the DuckDB oracle mirrors with x / nullif(d, 0))
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
+    spec = F.try_divide(tn, tn + fp)
+    acc = F.try_divide(tp + tn, n)
+    pe = F.try_divide((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn), n * n)
     return c.select(
         *[F.col(g) for g in group_cols],
         "tp", "fp", "fn", "tn",
-        (2 * prec * rec / (prec + rec)).alias("f1"),
+        F.try_divide(2 * prec * rec, prec + rec).alias("f1"),
         prec.alias("precision"),
         rec.alias("recall"),
         acc.alias("accuracy"),
-        ((fp + fn) / n).alias("hamming_loss"),
-        (tp / (tp + fp + fn)).alias("jaccard"),
-        ((acc - pe) / (1 - pe)).alias("cohen_kappa"),
+        F.try_divide(fp + fn, n).alias("hamming_loss"),
+        F.try_divide(tp, tp + fp + fn).alias("jaccard"),
+        F.try_divide(acc - pe, 1 - pe).alias("cohen_kappa"),
         ((rec + spec) / 2).alias("balanced_accuracy"),
     )
 

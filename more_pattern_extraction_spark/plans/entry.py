@@ -1007,6 +1007,173 @@ def slope_changepoints(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A9 — classification metrics; J3 — equi-join; §3.3 deviation pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classification_metrics",
+    """
+    WITH p AS (
+      SELECT event_type,
+             CASE WHEN value > 200 THEN 1 ELSE 0 END AS actual,
+             CASE WHEN avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) > 200
+                  THEN 1 ELSE 0 END AS pred
+      FROM events
+    ), c AS (
+      SELECT event_type,
+             sum(CASE WHEN actual = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN actual = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN actual = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN actual = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+      FROM p GROUP BY 1
+    )
+    SELECT event_type, tp, fp, fn, tn,
+           round(2.0 * (tp / nullif(CAST(tp + fp AS DOUBLE), 0)) * (tp / nullif(CAST(tp + fn AS DOUBLE), 0))
+                 / nullif(tp / nullif(CAST(tp + fp AS DOUBLE), 0) + tp / nullif(CAST(tp + fn AS DOUBLE), 0), 0), 6) AS f1,
+           round((tp + tn) / nullif(CAST(tp + fp + fn + tn AS DOUBLE), 0), 6) AS accuracy,
+           round(tp / nullif(CAST(tp + fp + fn AS DOUBLE), 0), 6) AS jaccard
+    FROM c
+    """,
+)
+def classification_metrics(spark, sf_dir):
+    """A9 scorer (learning.py:457-466): confusion counts → F1/accuracy/
+    jaccard via operators/stats.classification_scores."""
+    from more_pattern_extraction_spark.operators import stats as ST
+
+    w = _W_TS().rowsBetween(-5, -1)
+    p = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("value") > 200).cast("int").alias("actual"),
+        (F.coalesce(F.avg("value").over(w), F.lit(0.0)) > 200).cast("int").alias("pred"),
+    )
+    s = ST.classification_scores(p, "actual", "pred", ("event_type",))
+    return s.select(
+        "event_type", "tp", "fp", "fn", "tn",
+        F.round("f1", 6).alias("f1"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@register(
+    "equi_join_enrich",
+    """
+    WITH r AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 6) AS hour_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, round(e.value - r.hour_avg, 6) AS delta_from_hour
+    FROM events e JOIN r ON e.user_id = r.user_id AND date_trunc('hour', e.ts) = r.h
+    """,
+)
+def equi_join_enrich(spark, sf_dir):
+    """J3 index-aligned column join (Genetic_pattern_discovery cell 7):
+    equi-join raw points back to their own tier rollup on (conv, bucket) —
+    sort-merge/broadcast chosen by Catalyst."""
+    ev = _events(spark, sf_dir)
+    r = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("hour_avg"))
+    return (
+        ev.withColumn("h", F.date_trunc("hour", "ts"))
+        .join(r, ["user_id", "h"])
+        .select(
+            "event_id", F.round(F.col("value") - F.col("hour_avg"), 6).alias("delta_from_hour")
+        )
+    )
+
+
+@register(
+    "deviation_windows",
+    """
+    WITH x AS (
+      SELECT *, (epoch(ts) - epoch(timestamp '2024-01-01')) / 86400.0 AS xd
+      FROM events
+    ), ref AS (
+      SELECT (avg(xd * value) - avg(xd) * avg(value))
+             / (avg(xd * xd) - avg(xd) * avg(xd)) AS slope,
+             avg(value) AS my, avg(xd) AS mx
+      FROM x WHERE ts < timestamp '2024-01-08'
+    ), p AS (
+      SELECT x.event_type, x.xd, x.value AS y,
+             (ref.my - ref.slope * ref.mx) + ref.slope * x.xd AS pred,
+             unnest([CAST(to_timestamp(floor(epoch(x.ts) / 172800) * 172800) AS TIMESTAMP),
+                     CAST(to_timestamp(floor(epoch(x.ts) / 172800) * 172800 - 172800) AS TIMESTAMP)]) AS win_start
+      FROM x, ref
+    ), w AS (
+      SELECT event_type, win_start, count(*) AS n,
+             avg(y - pred) AS me,
+             avg(y - pred) / avg(y) AS mpe,
+             (avg(xd * (y - pred)) - avg(xd) * avg(y - pred))
+             / (avg(xd * xd) - avg(xd) * avg(xd)) AS res_slope
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, win_start, n, round(me, 6) AS me, round(mpe, 6) AS mpe,
+           round(res_slope, 6) AS res_slope,
+           round(-(mpe * least(res_slope, 0.0)), 6) AS dev_score
+    FROM w
+    """,
+)
+def deviation_windows(spark, sf_dir):
+    """§3.3 deviation pipeline (train_on_reference_points +
+    predict_on_sliding_windows + deviation score, learning.py:98-178,
+    deviation_detection.ipynb cell 11): global OLS on the reference week,
+    4d/2d hopping-window residual scores, score = -(mpe·min(slope,0))."""
+    from more_pattern_extraction_spark.operators import deviation as DV
+
+    ev = _events(spark, sf_dir).withColumn(
+        "xd",
+        (F.col("ts").cast("timestamp").cast("double")
+         - F.lit("2024-01-01").cast("timestamp").cast("double"))
+        / 86400.0,
+    )
+    model = DV.fit_reference_model(ev, "value", "xd", F.col("ts") < "2024-01-08")
+    w = DV.predict_on_sliding_windows(
+        ev, model, "value", "xd", "4 days", "2 days", ("event_type",)
+    )
+    out = DV.deviation_score(w)
+    return out.select(
+        "event_type", "win_start", "n",
+        F.round("me", 6).alias("me"),
+        F.round("mpe", 6).alias("mpe"),
+        F.round("res_slope", 6).alias("res_slope"),
+        F.round("dev_score", 6).alias("dev_score"),
+    )
+
+
+@register("changepoint_event_scores")  # rows-only (train/val/test splits)
+def changepoint_event_scores_q(spark, sf_dir):
+    """§3.3 changepoint_scores (learning.py:180-228): per-event OLS fit on
+    the pre-window, val/test error measures + ranking ratio."""
+    from more_pattern_extraction_spark.operators import deviation as DV
+
+    ev = _events(spark, sf_dir).withColumn(
+        "xd",
+        (F.col("ts").cast("timestamp").cast("double")
+         - F.lit("2024-01-01").cast("timestamp").cast("double"))
+        / 86400.0,
+    )
+    events = (
+        ev.filter((F.col("event_type") == "error") & (F.col("ts") > "2024-01-10"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("event_ts"))
+        .select(F.col("user_id").cast("string").alias("event_id"), "event_ts",
+                "user_id")
+        .filter(F.col("event_ts") > "2024-01-10")
+    )
+    out = DV.changepoint_event_scores(ev.drop("event_id"), events, "value", "xd")
+    return out.select(
+        "event_id",
+        F.round("val_me", 6).alias("val_me"),
+        F.round("val_mape", 6).alias("val_mape"),
+        F.round("test_me", 6).alias("test_me"),
+        F.round("ratio", 6).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chunk codec round trip (north rule: DoD + Gorilla-XOR chunk structs)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,157 @@
+"""Genetic-algorithm hyperparameter search (reference §2.11:
+``modules/learning.py:233-345`` procedure; population init/selection/
+crossover/mutation ``modules/io.py:190-621``; fitness = F1 of motif
+coverage vs labeled intervals, ``modules/learning.py:350-466``).
+
+This stays a DRIVER loop, exactly as SURVEY §2.11 prescribes: the
+population is small driver-side state; each generation evaluates every
+individual's fitness with ONE Spark job — individuals explode into the
+grouped-UDF key so (conversation × individual) motif extraction runs
+shuffle-parallel, then coverage is scored relationally and collected
+(population-sized rows only).
+
+Unlike the reference (unseeded random.choice → irreproducible runs,
+SURVEY §5.1), every stochastic choice here derives from a seeded
+numpy Generator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.functions.kernels import stomp, top_k_motifs_kernel
+
+# genes: (m, radius, ez_frac, k)
+GENE_BOUNDS = {
+    "m": (8, 64),
+    "radius": (1.0, 5.0),
+    "ez_frac": (0.1, 1.0),
+    "k": (1, 5),
+}
+
+
+def init_population(pop_size: int, rng: np.random.Generator) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "indiv": range(pop_size),
+            "m": rng.integers(*GENE_BOUNDS["m"], pop_size),
+            "radius": rng.uniform(*GENE_BOUNDS["radius"], pop_size),
+            "ez_frac": rng.uniform(*GENE_BOUNDS["ez_frac"], pop_size),
+            "k": rng.integers(GENE_BOUNDS["k"][0], GENE_BOUNDS["k"][1] + 1, pop_size),
+        }
+    )
+
+
+def _coverage_udf(value_col: str, order_col: str):
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        m = int(pdf["m"].iloc[0])
+        radius = float(pdf["radius"].iloc[0])
+        ez = max(1, int(m * float(pdf["ez_frac"].iloc[0])))
+        k = int(pdf["k"].iloc[0])
+        t = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        covered = np.zeros(len(t), dtype=bool)
+        if len(t) >= 2 * m:
+            mp, pi = stomp(t, m)
+            motifs = top_k_motifs_kernel(t, mp, pi, m, ez, radius, k)
+            for mo in motifs:
+                for s in [*mo["motifs"], *mo["neighbors"]]:
+                    covered[s : s + m] = True
+        out = pdf[["conv_id", "indiv", order_col]].copy()
+        out["pred"] = covered[: len(out)]
+        return out
+
+    return f
+
+
+def evaluate_generation(
+    grid: DataFrame,
+    labels_mask: DataFrame,
+    population: pd.DataFrame,
+    value_col: str = "latency_avg_filled",
+    order_col: str = "bucket_start",
+) -> pd.DataFrame:
+    """One Spark job: per (conv, individual) motif coverage → join the
+    label mask → per-individual confusion → F1 (collected: |pop| rows)."""
+    spark = grid.sparkSession
+    pop_df = F.broadcast(spark.createDataFrame(population))
+    fanned = grid.crossJoin(pop_df)
+    cov = fanned.groupBy("conv_id", "indiv").applyInPandas(
+        _coverage_udf(value_col, order_col),
+        f"conv_id string, indiv long, {order_col} timestamp, pred boolean",
+    )
+    j = cov.join(labels_mask, ["conv_id", order_col])
+    a = F.col("flag").cast("int")
+    p = F.col("pred").cast("int")
+    scores = (
+        j.groupBy("indiv")
+        .agg(
+            F.sum(((a == 1) & (p == 1)).cast("long")).alias("tp"),
+            F.sum(((a == 0) & (p == 1)).cast("long")).alias("fp"),
+            F.sum(((a == 1) & (p == 0)).cast("long")).alias("fn"),
+        )
+        .withColumn(
+            "f1",
+            F.coalesce(
+                F.try_divide(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                F.lit(0.0),
+            ),
+        )
+        .toPandas()
+    )
+    return population.merge(scores[["indiv", "f1"]], on="indiv", how="left").fillna(
+        {"f1": 0.0}
+    )
+
+
+def _breed(scored: pd.DataFrame, rng: np.random.Generator) -> pd.DataFrame:
+    """Tournament selection + uniform crossover + gaussian mutation
+    (the reference's strategy mix, io.py:263-621, made deterministic)."""
+    n = len(scored)
+    genes = ["m", "radius", "ez_frac", "k"]
+    elite = scored.sort_values("f1", ascending=False).head(max(1, n // 10))
+    children = [elite[genes + ["f1"]]]
+    n_child = n - len(elite)
+    rows = []
+    for _ in range(n_child):
+        cand = scored.iloc[rng.integers(0, n, 3)]
+        p1 = cand.sort_values("f1", ascending=False).iloc[0]
+        cand = scored.iloc[rng.integers(0, n, 3)]
+        p2 = cand.sort_values("f1", ascending=False).iloc[0]
+        child = {g: (p1[g] if rng.random() < 0.5 else p2[g]) for g in genes}
+        if rng.random() < 0.3:  # mutate one gene
+            g = genes[rng.integers(0, len(genes))]
+            lo, hi = GENE_BOUNDS[g]
+            if g in ("m", "k"):
+                child[g] = int(np.clip(child[g] + rng.integers(-4, 5), lo, hi))
+            else:
+                child[g] = float(np.clip(child[g] + rng.normal(0, 0.3), lo, hi))
+        rows.append(child)
+    out = pd.concat([elite[genes], pd.DataFrame(rows)], ignore_index=True)
+    out["m"] = out["m"].astype(int)
+    out["k"] = out["k"].astype(int)
+    out["indiv"] = range(len(out))
+    return out[["indiv", *genes]]
+
+
+def run_ga(
+    grid: DataFrame,
+    labels_mask: DataFrame,
+    pop_size: int = 12,
+    generations: int = 3,
+    seed: int = 42,
+    value_col: str = "latency_avg_filled",
+    order_col: str = "bucket_start",
+) -> pd.DataFrame:
+    """Returns the final scored population, best-first."""
+    rng = np.random.default_rng(seed)
+    pop = init_population(pop_size, rng)
+    best = None
+    for _gen in range(generations):
+        scored = evaluate_generation(grid, labels_mask, pop, value_col, order_col)
+        best = scored.sort_values("f1", ascending=False)
+        pop = _breed(scored, rng)
+    return best.reset_index(drop=True)

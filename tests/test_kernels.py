@@ -138,3 +138,18 @@ def test_find_neighbors_multidim():
     )
     assert nbrs[0] == 40 and dists[0] < 1e-5
     assert len(nbrs) == 3 and all(d >= -1e-9 for d in np.diff(dists))
+
+
+def test_complexity_av_and_apply():
+    # flat region has low complexity, sine region high
+    t = np.concatenate([np.zeros(100), np.sin(np.arange(100) * 0.5) * 3])
+    m = 10
+    av = K.complexity_av(t, m)
+    assert av.min() >= 0 and av.max() <= 1
+    assert av[:80].mean() < 0.1 < av[110:].mean()
+    mp, pi = K.stomp(t, m)
+    cmp_ = K.apply_av(mp, av)
+    finite = np.isfinite(mp)
+    assert (cmp_[finite] >= mp[finite] - 1e-12).all()
+    # flat windows get pushed toward the max → ranked away from motifs
+    assert cmp_[10] > mp[10]
