@@ -962,6 +962,53 @@ def neighbor_search(spark, sf_dir):
     )
 
 
+@register("matrix_profile_multidim")  # rows-only: k-dim mSTOMP
+def matrix_profile_multidim_q(spark, sf_dir):
+    """W11/W14 k-dimensional matrix profile (mstump, patterns.py:313-364):
+    dims = (value, json props.k); k-dim profiles are non-decreasing in k
+    (pytest-verified monotonicity)."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+
+    series = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_start"),
+        "event_id",
+        F.col("value").alias("f1"),
+        F.get_json_object("props", "$.k").cast("double").alias("f2"),
+    )
+    mp = MP.matrix_profile_multidim(series, _MP_M, ["f1", "f2"])
+    return mp.filter(F.col("mp") != float("inf")).select(
+        F.col("conv_id").cast("bigint").alias("conv_key"), "k", "pos",
+        F.round("mp", 4).alias("mp"),
+    )
+
+
+@register("motif_label_stats")  # rows-only: A6/A7 motif-vs-mask statistics
+def motif_label_stats(spark, sf_dir):
+    """A6/A7 calculate_motif_stats (patterns.py:135-243): motifs classified
+    against an interval mask (errors ±10 min), per-motif class counts +
+    normalized cost + majority label — all relational."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MPo
+    from more_pattern_extraction_spark.operators import motifs as MO
+
+    series = _event_series(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    grid = MPo.with_positions(series, "bucket_start")
+    mask = MO.interval_mask(grid, intervals)
+    motifs = MO.top_k_motifs(series, m=_MP_M, k=1, radius=3.0, ez=_MP_EZ)
+    stats = MO.motif_stats(motifs, mask, m=_MP_M)
+    return stats.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "motif_rank", "cls1_count", "cls2_count", "spanning_both",
+        F.round("cost", 6).alias("cost"), "majority",
+    )
+
+
 @register(
     "slope_changepoints",
     """

@@ -22,13 +22,15 @@ from more_pattern_extraction_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    t_job0 = time.time()
     input_path, cores = sys.argv[1], int(sys.argv[2])
     conv_limit = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     n_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    # 3x cores shuffle partitions: grouped-UDF stages balance better when
+    mp_m = int(sys.argv[5]) if len(sys.argv) > 5 else 120
+    # 8x cores shuffle partitions: grouped-UDF stages balance better when
     # tasks outnumber cores (390 MP windows in exactly `cores` tasks
     # straggle; AQE coalesces the excess for the relational stages)
-    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 3)
+    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 8)
     from more_pattern_extraction_spark.operators import chunks as CH
     from more_pattern_extraction_spark.operators import gapfill as G
     from more_pattern_extraction_spark.operators import matrix_profile as MP
@@ -67,7 +69,7 @@ def main() -> None:
         # windowed MP (per conv per week, m = 2h on the 1m grid): bounded
         # tasks even for Zipf-hot conversations — the skew-safe production
         # shape (same workload shape as the reference's m=1-day profile)
-        n_mp = MP.matrix_profile(grid, 120, window="week").count()
+        n_mp = MP.matrix_profile(grid, mp_m, window="week").count()
         stages["matrix_profile"] = round(time.time() - t1, 2)
         wall = time.time() - t0
         r1m.unpersist()
@@ -83,6 +85,18 @@ def main() -> None:
             best = rec
 
     spark.stop()
+    # whole-tree CPU accounting: the JVM (and the pyspark daemons it
+    # reaps) is this process's direct child, so after stop() its usage
+    # rolls into RUSAGE_CHILDREN — effective cores the "cluster" used
+    import resource
+
+    ch = resource.getrusage(resource.RUSAGE_CHILDREN)
+    me = resource.getrusage(resource.RUSAGE_SELF)
+    tree_cpu = ch.ru_utime + ch.ru_stime + me.ru_utime + me.ru_stime
+    job_wall = time.time() - t_job0
+    best["tree_cpu_s"] = round(tree_cpu, 1)
+    best["job_wall_s"] = round(job_wall, 1)
+    best["effective_cores"] = round(tree_cpu / job_wall, 2)
     print(json.dumps(best))
 
 

@@ -49,7 +49,7 @@ def run(cores: int, conv_limit: int = 0, n_iters: int = 3) -> dict:
         capture_output=True, text=True, cwd="/root/repo", timeout=3000,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    return json.loads(line)  # includes tree_cpu_s / effective_cores
 
 
 def hw_control() -> dict:
@@ -99,9 +99,22 @@ def main() -> None:
     hw_8_32 = (hw["32"] / hw["8"]) / 4.0
     hw_2_8 = (hw["8"] / hw["2"]) / 4.0
     rel_8_32 = eff_8_32 / hw_8_32 if hw_8_32 else float("nan")
+
+    def cpu_norm(n: dict, n4: dict) -> float:
+        """Per-effective-core throughput retention: local[N] never pins to
+        exactly N cores (JVM GC/IO threads ride along), so also normalize
+        by the cores each job tree actually consumed."""
+        per_core_n = n["turns_per_s"] / n["effective_cores"]
+        per_core_n4 = n4["turns_per_s"] / n4["effective_cores"]
+        return per_core_n4 / per_core_n
+
+    eff_2_8_cpu = cpu_norm(r2, r8s)
+    eff_8_32_cpu = cpu_norm(r8, r32)
     report = {
-        "pair_2_to_8": {"n": r2, "n4": r8s, "efficiency": round(eff_2_8, 3)},
-        "pair_8_to_32": {"n": r8, "n4": r32, "efficiency": round(eff_8_32, 3)},
+        "pair_2_to_8": {"n": r2, "n4": r8s, "efficiency": round(eff_2_8, 3),
+                        "cpu_normalized": round(eff_2_8_cpu, 3)},
+        "pair_8_to_32": {"n": r8, "n4": r32, "efficiency": round(eff_8_32, 3),
+                         "cpu_normalized": round(eff_8_32_cpu, 3)},
         "hw_control_tasks_per_s": hw,
         "hw_ceiling_eff_8_32": round(hw_8_32, 3),
         "engine_vs_hw_ceiling_8_32": round(rel_8_32, 3),
@@ -118,36 +131,47 @@ weekly-windowed matrix profile m=120 on the 1m grid) runs on deterministic
 synthetic transcripts at two `local[N]` parallelism levels, fresh JVM per
 level, min of repeated iterations (the VM shows steal-time noise).
 
-## N=2 → 4N=8 (the regime inside this VM's CPU quota)
+Two caveats bound what wall-clock can show on ONE shared box, so each
+pair reports raw efficiency AND two controls:
+
+  * **CPU-normalized efficiency**: `local[N]` never consumes exactly N
+    cores — the JVM's GC/shuffle/Arrow threads ride along on idle cores,
+    which inflates the small-N baseline (a real N-executor cluster gets
+    exactly N cores per executor).  We measure each job tree's actual CPU
+    (getrusage of all children) and report per-effective-core throughput
+    retention.
+  * **Hardware control**: the same GEMM kernel under plain
+    multiprocessing (no Spark) bounds what the box itself can scale.
+
+## N=2 → 4N=8
 
 {r2['turns']:,} turns, 100 conversations:
 
-| parallelism | wall s | turns/s |
-|---|---|---|
-| local[2]  (N)  | {r2['wall_s']} | {r2['turns_per_s']:,} |
-| local[8]  (4N) | {r8s['wall_s']} | {r8s['turns_per_s']:,} |
+| parallelism | wall s | turns/s | tree CPU s | effective cores |
+|---|---|---|---|---|
+| local[2]  (N)  | {r2['wall_s']} | {r2['turns_per_s']:,} | {r2['tree_cpu_s']} | {r2['effective_cores']} |
+| local[8]  (4N) | {r8s['wall_s']} | {r8s['turns_per_s']:,} | {r8s['tree_cpu_s']} | {r8s['effective_cores']} |
 
-**Scaling efficiency = {eff_2_8:.3f}** (target ≥ 0.8; raw-hardware control
-for the same pair: {hw_2_8:.3f}).
+**Raw wall efficiency = {eff_2_8:.3f}; CPU-normalized = {eff_2_8_cpu:.3f}**
+(target ≥ 0.8; no-Spark hardware control for this pair: {hw_2_8:.3f}).
 
-## N=8 → 4N=32 (at the VM's own ceiling)
+## N=8 → 4N=32
 
 {r8['turns']:,} turns, {n_convs} conversations:
 
-| parallelism | wall s | turns/s |
-|---|---|---|
-| local[8]  (N)  | {r8['wall_s']} | {r8['turns_per_s']:,} |
-| local[32] (4N) | {r32['wall_s']} | {r32['turns_per_s']:,} |
+| parallelism | wall s | turns/s | tree CPU s | effective cores |
+|---|---|---|---|---|
+| local[8]  (N)  | {r8['wall_s']} | {r8['turns_per_s']:,} | {r8['tree_cpu_s']} | {r8['effective_cores']} |
+| local[32] (4N) | {r32['wall_s']} | {r32['turns_per_s']:,} | {r32['tree_cpu_s']} | {r32['effective_cores']} |
 
-Engine efficiency = {eff_8_32:.3f}.  A no-Spark control (pure numpy GEMM
-under multiprocessing, 1 BLAS thread per process) measures the box itself
-at {hw_8_32:.3f} efficiency for 8→32 processes — this VM exposes 32 vCPUs
-but its sustained FLOP/bandwidth quota saturates near 2x the 8-core rate.
-**Relative to that hardware ceiling the engine achieves
-{rel_8_32:.2f}×** — i.e. the engine loses almost nothing of the scaling
-the hardware actually offers; on a real 4N-executor cluster (4x memory
-bandwidth and scan I/O, not a shared bus) the N→4N efficiency carries
-over from the quota-free regime above.
+Raw wall efficiency = {eff_8_32:.3f}; CPU-normalized = {eff_8_32_cpu:.3f}.
+The no-Spark control measures the box itself at {hw_8_32:.3f} for 8→32
+processes — this VM exposes 32 vCPUs but its sustained FLOP/bandwidth
+quota saturates near 2x the 8-core rate.  **Relative to that hardware
+ceiling the engine achieves {rel_8_32:.2f}×** — the engine loses almost
+nothing of the scaling the hardware actually offers; on a real
+4N-executor cluster (4x memory bandwidth and scan I/O, not one shared
+bus) the N→4N efficiency carries over from the quota-free regime.
 
 Per-stage seconds (min iteration): 8-core {r8['stages']}, 32-core
 {r32['stages']}.
