@@ -1069,11 +1069,13 @@ def slope_changepoints(spark, sf_dir):
                   THEN 1 ELSE 0 END AS pred
       FROM events
     ), c AS (
+      -- CAST to BIGINT: DuckDB's sum(int) is HUGEINT (arrow decimal128),
+      -- which the driver hashes differently from Spark's int64
       SELECT event_type,
-             sum(CASE WHEN actual = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
-             sum(CASE WHEN actual = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
-             sum(CASE WHEN actual = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn,
-             sum(CASE WHEN actual = 0 AND pred = 0 THEN 1 ELSE 0 END) AS tn
+             CAST(sum(CASE WHEN actual = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN actual = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN actual = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN actual = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
       FROM p GROUP BY 1
     )
     SELECT event_type, tp, fp, fn, tn,
@@ -1092,7 +1094,8 @@ def classification_metrics(spark, sf_dir):
     w = _W_TS().rowsBetween(-5, -1)
     p = _events(spark, sf_dir).select(
         "event_type",
-        (F.col("value") > 200).cast("int").alias("actual"),
+        # coalesce: NULL values count as negatives, matching the oracle's CASE
+        F.coalesce((F.col("value") > 200).cast("int"), F.lit(0)).alias("actual"),
         (F.coalesce(F.avg("value").over(w), F.lit(0.0)) > 200).cast("int").alias("pred"),
     )
     s = ST.classification_scores(p, "actual", "pred", ("event_type",))
@@ -1157,9 +1160,11 @@ def equi_join_enrich(spark, sf_dir):
              / (avg(xd * xd) - avg(xd) * avg(xd)) AS res_slope
       FROM p GROUP BY 1, 2
     )
-    SELECT event_type, win_start, n, round(me, 6) AS me, round(mpe, 6) AS mpe,
-           round(res_slope, 6) AS res_slope,
-           round(-(mpe * least(res_slope, 0.0)), 6) AS dev_score
+    -- "+ 0.0" canonicalizes -0.0 to 0.0 (Spark's round drops the sign bit
+    -- via BigDecimal; DuckDB keeps it — the driver hash distinguishes them)
+    SELECT event_type, win_start, n, round(me, 6) + 0.0 AS me, round(mpe, 6) + 0.0 AS mpe,
+           round(res_slope, 6) + 0.0 AS res_slope,
+           round(-(mpe * least(res_slope, 0.0)), 6) + 0.0 AS dev_score
     FROM w
     """,
 )
@@ -1181,12 +1186,14 @@ def deviation_windows(spark, sf_dir):
         ev, model, "value", "xd", "4 days", "2 days", ("event_type",)
     )
     out = DV.deviation_score(w)
+    # "+ 0.0" mirrors the oracle's -0.0 canonicalization (Spark round
+    # already drops the sign bit; the add keeps both sides identical)
     return out.select(
         "event_type", "win_start", "n",
-        F.round("me", 6).alias("me"),
-        F.round("mpe", 6).alias("mpe"),
-        F.round("res_slope", 6).alias("res_slope"),
-        F.round("dev_score", 6).alias("dev_score"),
+        (F.round("me", 6) + F.lit(0.0)).alias("me"),
+        (F.round("mpe", 6) + F.lit(0.0)).alias("mpe"),
+        (F.round("res_slope", 6) + F.lit(0.0)).alias("res_slope"),
+        (F.round("dev_score", 6) + F.lit(0.0)).alias("dev_score"),
     )
 
 

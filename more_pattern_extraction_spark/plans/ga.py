@@ -107,13 +107,24 @@ def evaluate_generation(
     )
 
 
-def _breed(scored: pd.DataFrame, rng: np.random.Generator) -> pd.DataFrame:
+def _breed(
+    scored: pd.DataFrame, rng: np.random.Generator, hof: pd.Series | None = None
+) -> pd.DataFrame:
     """Tournament selection + uniform crossover + gaussian mutation
-    (the reference's strategy mix, io.py:263-621, made deterministic)."""
+    (the reference's strategy mix, io.py:263-621, made deterministic).
+
+    ``hof`` — the all-time-best individual (hall of fame) — is always
+    re-seeded into the next generation's elite, so the population's best
+    fitness is monotone non-decreasing across generations (the reference's
+    unseeded GA has no such guarantee, learning.py:430-431)."""
     n = len(scored)
     genes = ["m", "radius", "ez_frac", "k"]
-    elite = scored.sort_values("f1", ascending=False).head(max(1, n // 10))
-    children = [elite[genes + ["f1"]]]
+    elite = scored.sort_values("f1", ascending=False).head(max(1, n // 10))[genes]
+    if hof is not None:
+        elite = pd.concat([hof[genes].to_frame().T, elite], ignore_index=True)
+        elite = elite.astype(
+            {"m": "int64", "radius": "float64", "ez_frac": "float64", "k": "int64"}
+        ).drop_duplicates()
     n_child = n - len(elite)
     rows = []
     for _ in range(n_child):
@@ -149,9 +160,13 @@ def run_ga(
     """Returns the final scored population, best-first."""
     rng = np.random.default_rng(seed)
     pop = init_population(pop_size, rng)
+    hof = None  # all-time best individual (hall of fame)
     best = None
     for _gen in range(generations):
         scored = evaluate_generation(grid, labels_mask, pop, value_col, order_col)
         best = scored.sort_values("f1", ascending=False)
-        pop = _breed(scored, rng)
+        gen_best = best.iloc[0]
+        if hof is None or gen_best["f1"] > hof["f1"]:
+            hof = gen_best
+        pop = _breed(scored, rng, hof)
     return best.reset_index(drop=True)

@@ -1,8 +1,13 @@
 """Local replica of the driver's correctness gate: run every
 __spark_entry__.queries() entry at a given sf and compare against
 oracle_sql() via DuckDB — row count, schema (sorted column names), and an
-order-insensitive value comparison (sorted rows, exact after the queries'
-own rounding).
+order-insensitive value comparison.
+
+The comparison is ARROW-LEVEL to match the driver's value hash:
+NULL and NaN are distinct, floats compare bit-for-bit (so -0.0 != 0.0,
+but NaN == NaN), and dtype families must agree (an int64 Spark column vs a
+DuckDB HUGEINT/decimal128 sum is flagged — the driver stringifies those
+differently even when values are numerically equal).
 
 Usage: python scripts/check_oracles.py [sf_dir] [name_filter ...]
 """
@@ -15,45 +20,80 @@ import time
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf[sorted(pdf.columns)].copy()
-    for c in pdf.columns:
-        s = pdf[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            pdf[c] = s.astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(s):
-            pdf[c] = s.astype("float64") if s.isna().any() else s.astype("int64")
-        elif pd.api.types.is_bool_dtype(s):
-            pdf[c] = s.astype("object").astype("float64") if s.isna().any() else s.astype("bool")
-        elif s.dtype == object:
-            # bools with NULLs come back as object from duckdb
-            try:
-                pdf[c] = s.astype("float64")
-            except (ValueError, TypeError):
-                pass
-    return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(drop=True)
+def _family(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    return str(t)
 
 
-def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+def _to_frames(tbl: pa.Table) -> tuple[pd.DataFrame, pd.DataFrame, dict[str, str]]:
+    """(values, null-mask, column→type-family). Values frame keeps NaN for
+    both NULL and NaN; the mask frame distinguishes them."""
+    import pyarrow.compute as pc
+
+    cols, masks, fams = {}, {}, {}
+    for c in tbl.column_names:
+        arr = tbl.column(c).combine_chunks()
+        fams[c] = _family(arr.type)
+        masks[c] = pc.is_null(arr).to_pandas().to_numpy()
+        s = arr.to_pandas()
+        if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
+            s = pd.to_datetime(s)
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            s = s.astype("datetime64[us]")
+            fams[c] = "timestamp"  # date-vs-timestamp: driver coerces, so do we
+        cols[c] = s
+    pdf = pd.DataFrame(cols)[sorted(cols)]
+    mdf = pd.DataFrame(masks)[sorted(cols)]
+    order = pdf.sort_values(list(pdf.columns), na_position="first").index
+    return pdf.loc[order].reset_index(drop=True), mdf.loc[order].reset_index(drop=True), fams
+
+
+def compare(name: str, got: pa.Table, exp: pa.Table) -> list[str]:
     errs = []
-    if sorted(got.columns) != sorted(exp.columns):
-        return [f"schema: {sorted(got.columns)} vs {sorted(exp.columns)}"]
-    if len(got) != len(exp):
-        errs.append(f"rowcount: {len(got)} vs {len(exp)}")
-        return errs
-    g, e = normalize(got), normalize(exp)
+    if sorted(got.column_names) != sorted(exp.column_names):
+        return [f"schema: {sorted(got.column_names)} vs {sorted(exp.column_names)}"]
+    if got.num_rows != exp.num_rows:
+        return [f"rowcount: {got.num_rows} vs {exp.num_rows}"]
+    g, gm, gf = _to_frames(got)
+    e, em, ef = _to_frames(exp)
     for c in g.columns:
-        gv, ev = g[c].values, e[c].values
+        if gf[c] != ef[c] and {gf[c], ef[c]} != {"int"}:
+            # int64 vs int32 is fine (driver compares values); int vs
+            # decimal/float is NOT (stringifies as "370" vs "370.0")
+            if not (gf[c] == ef[c] == "int"):
+                if {gf[c], ef[c]} & {"decimal"} or {gf[c], ef[c]} == {"int", "float"}:
+                    errs.append(f"col {c}: dtype family {gf[c]} vs {ef[c]} (driver-hash divergent)")
+                    continue
+        if (gm[c].to_numpy() != em[c].to_numpy()).any():
+            i = int(np.argmax(gm[c].to_numpy() != em[c].to_numpy()))
+            errs.append(f"col {c}: NULL-mask mismatch, first at row {i} "
+                        f"(spark null={bool(gm[c][i])}, oracle null={bool(em[c][i])})")
+            continue
+        gv, ev = g[c].to_numpy(), e[c].to_numpy()
         if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(e[c]):
             gv = np.asarray(gv, dtype="float64")
             ev = np.asarray(ev, dtype="float64")
-            bad = ~((gv == ev) | (np.isnan(gv) & np.isnan(ev)))
+            both_nan = np.isnan(gv) & np.isnan(ev)
+            bad = (gv.view("int64") != ev.view("int64")) & ~both_nan
         else:
             bad = ~((gv == ev) | (pd.isna(gv) & pd.isna(ev)))
         if bad.any():
@@ -83,17 +123,17 @@ def main():
             continue
         t0 = time.time()
         try:
-            got = fn(spark, sf_dir).toPandas()
+            got = fn(spark, sf_dir).toArrow()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
             continue
         if name not in os_:
-            print(f"ROWS {name}: {len(got)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS {name}: {got.num_rows} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            exp = con.execute(os_[name]).df()
+            exp = con.execute(os_[name]).arrow()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
@@ -105,7 +145,7 @@ def main():
                 print(f"     {e}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(got)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {got.num_rows} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     spark.stop()
