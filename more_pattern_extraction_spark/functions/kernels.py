@@ -392,15 +392,23 @@ def top_k_motifs_kernel(
     """Top-k motif pairs + their radius-neighbors from a univariate MP
     (reference get_top_k_motifs, similarity.py:8-29, backed by the
     matrixprofile-foundation algorithm)."""
-    mp = mp.copy()
-    mp[~np.isfinite(mp)] = np.inf
+    # greedy selection runs on round-4 distances: engines (numpy GEMM vs
+    # relational sums) agree at 4 dp but not at the last ulp, so unrounded
+    # argmin near-ties would pick different positions per engine
+    mpr = np.round(mp, 4)
+    mpr[~np.isfinite(mpr)] = np.inf
     out = []
     for _ in range(k):
-        i = int(np.argmin(mp))
-        if not np.isfinite(mp[i]):
+        a = int(np.argmin(mpr))
+        if not np.isfinite(mpr[a]):
             break
-        j = int(pi[i])
-        min_dist = float(mp[i])
+        b = int(pi[a])
+        min_dist = float(mpr[a])
+        # canonical pair representative: a motif pair appears twice in a
+        # self-join MP (mp[a] == mp[b] mathematically, fp noise decides the
+        # argmin) — the SMALLER index always drives the neighbor profile so
+        # the result is deterministic and engine-portable
+        i, j = (a, b) if a <= b else (b, a)
         prof = mass2(t[i : i + m], t)
         apply_exclusion(prof, i, ez)
         apply_exclusion(prof, j, ez)
@@ -413,7 +421,7 @@ def top_k_motifs_kernel(
             apply_exclusion(prof, nb, ez)
         out.append({"motifs": [i, j], "distance": min_dist, "neighbors": neighbors})
         for p in [i, j, *neighbors]:
-            apply_exclusion(mp, p, ez)
+            apply_exclusion(mpr, p, ez)
     return out
 
 
@@ -471,8 +479,12 @@ def subspace_kernel(
 
 
 def top_k_discords_kernel(mp: np.ndarray, ez: int, k: int) -> list[tuple[int, float]]:
-    """Top-k discords = highest finite MP values with exclusion zones."""
-    mp = mp.copy()
+    """Top-k discords = highest finite MP values with exclusion zones.
+
+    Selection runs on round-4 distances (first-index tie-break): mutual-NN
+    pairs share one mathematical MP value, and unrounded argmax near-ties
+    would pick different members per engine (see top_k_motifs_kernel)."""
+    mp = np.round(mp, 4)
     out = []
     for _ in range(k):
         finite = np.isfinite(mp)

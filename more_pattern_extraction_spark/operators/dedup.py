@@ -34,16 +34,25 @@ def tokenize(text_col: str = "text"):
 
 def shingles(text_col: str = "text", n: int = 3):
     """Distinct word n-gram shingles, built JVM-side with array functions
-    (no UDF): transform over a 0..len-n index sequence."""
+    (no UDF): transform over a 0..len-n index sequence.
+
+    Texts with fewer than n tokens yield an EMPTY array (matching the
+    DuckDB oracle's ``range``, which produces no indices) — the naive
+    ``sequence(0, greatest(...))`` would emit one degenerate shortened
+    shingle and throws under ``spark.sql.ansi.enabled`` (element_at past
+    the array end)."""
     toks = tokenize(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        )
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------
@@ -122,10 +131,16 @@ def minhash_lsh_pairs(
     """MinHash-LSH near-dup pairs: signature → band keys → bucket join →
     exact Jaccard verify on candidates only."""
     rows_per_band = n_hashes // bands
-    s = docs.select(
-        F.col(id_col).alias("doc"),
-        shingles(text_col, n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    s = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            shingles(text_col, n).alias("sh"),
+        )
+        # empty shingle sets (texts shorter than n tokens) would all share
+        # one all-NULL signature and collapse into a single mega-bucket
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    )
     banded = s.select(
         "doc",
         "sh",

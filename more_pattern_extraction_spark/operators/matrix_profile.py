@@ -144,6 +144,14 @@ def matrix_profile_distributed(
     """
     if ez is None:
         ez = int(np.ceil(m / 4))
+    if chunk_size < m - 1:
+        # the halo only replicates the FIRST m-1 rows of the next chunk;
+        # smaller chunks would need rows from chunk c+2 and silently drop
+        # late positions instead of erroring
+        raise ValueError(
+            f"chunk_size ({chunk_size}) must be >= m - 1 ({m - 1}): "
+            "the single-chunk halo cannot complete trailing windows otherwise"
+        )
     S = chunk_size
     pts = with_positions(grid, order_col).select(
         "conv_id", "pos", F.col(value_col).alias("v")

@@ -914,13 +914,15 @@ def fluss_regimes(spark, sf_dir):
     )
 
 
-@register("motif_discovery")  # rows-only: exclusion-zone argmin loop
+@register("motif_discovery")  # oracle: plans/oracles.motif_sql (unrolled greedy)
 def motif_discovery(spark, sf_dir):
-    """W10/W11 top-k motifs (get_top_k_motifs, similarity.py:8-29)."""
+    """W10/W11 top-k motifs (get_top_k_motifs, similarity.py:8-29).
+    max_neighbors=10 matches the oracle's unroll depth — both sides
+    compute the identical capped greedy sequence."""
     from more_pattern_extraction_spark.operators import motifs as MO
 
     series = _event_series(spark, sf_dir)
-    mo = MO.top_k_motifs(series, m=_MP_M, k=2, radius=3.0, ez=_MP_EZ)
+    mo = MO.top_k_motifs(series, m=_MP_M, k=2, radius=3.0, ez=_MP_EZ, max_neighbors=10)
     return mo.select(
         F.col("conv_id").cast("bigint").alias("conv_key"),
         "motif_rank", "motif_pos", "pair_pos",
@@ -1000,7 +1002,7 @@ def motif_label_stats(spark, sf_dir):
     )
     grid = MPo.with_positions(series, "bucket_start")
     mask = MO.interval_mask(grid, intervals)
-    motifs = MO.top_k_motifs(series, m=_MP_M, k=1, radius=3.0, ez=_MP_EZ)
+    motifs = MO.top_k_motifs(series, m=_MP_M, k=1, radius=3.0, ez=_MP_EZ, max_neighbors=10)
     stats = MO.motif_stats(motifs, mask, m=_MP_M)
     return stats.select(
         F.col("conv_id").cast("bigint").alias("conv_key"),
@@ -1624,3 +1626,25 @@ def multimodal_frames(spark, sf_dir):
     return MM.frame_sample(media, every_n=4).select(
         "doc_id", "frame_idx", F.length("frame").alias("frame_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Generated value-level oracles for the iterative / kernel-backed queries
+# (plans/oracles.py): brute-force SQL sharing no code with the kernels.
+# ---------------------------------------------------------------------------
+
+from more_pattern_extraction_spark.plans import oracles as _OR  # noqa: E402
+
+ORACLES["matrix_profile_distributed"] = ORACLES["matrix_profile"]
+ORACLES["discord_discovery"] = _OR.discord_sql(k=2)
+ORACLES["neighbor_search"] = _OR.neighbor_search_sql(max_neighbors=3)
+ORACLES["fluss_regimes"] = _OR.fluss_sql(L=_MP_M, n_regimes=3, excl_factor=1)
+ORACLES["motif_discovery"] = _OR.motif_sql(k=2, max_nbrs=10)
+ORACLES["motif_label_stats"] = _OR.motif_label_stats_sql(max_nbrs=10)
+ORACLES["matrix_profile_multidim"] = _OR.multidim_sql()
+ORACLES["changepoint_event_scores"] = _OR.CHANGEPOINT_SQL
+ORACLES["dedup_simhash"] = _OR.simhash_sql(_PLANTED_SQL, max_hamming=6)
+ORACLES["embedding_topk_lsh"] = _OR.embedding_topk_lsh_sql(k=3, n_planes=6)
+ORACLES["embedding_near_dups"] = _OR.embedding_near_dups_sql(threshold=0.99)
+ORACLES["multimodal_features"] = _OR.MULTIMODAL_FEATURES_SQL
+ORACLES["multimodal_frames"] = _OR.MULTIMODAL_FRAMES_SQL

@@ -1,0 +1,617 @@
+"""Generated DuckDB oracle SQL for the iterative / kernel-backed queries.
+
+These oracles share NO code with the numpy kernels: each re-derives the
+result with brute-force relational algebra (all-pairs z-normalized
+distances, window aggregates, unrolled greedy argmin/argmax steps).
+
+Greedy exclusion loops (top-k motifs/discords, neighbor search, FLUSS
+regime extraction — reference ``modules/similarity.py:8-104``,
+``modules/patterns.py:368-402``) cannot recurse in DuckDB (recursive CTE +
+correlated LATERAL hits an internal error), so they are UNROLLED: each
+pick is one CTE computing ``min({'d': dist, 'i': i})`` — a lexicographic
+struct-min that reproduces numpy's first-index tie-break — under the
+accumulated exclusion predicates of all earlier picks.  The unroll depth
+equals the operator's ``max_neighbors``/``k`` argument, which the Spark
+query pins to the same constant, so both sides compute the identical
+capped greedy sequence by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+M = 16          # subsequence length shared with plans/entry.py (_MP_M)
+EZ = 4          # exclusion zone = ceil(M/4) (_MP_EZ)
+MAX_NBRS = 10   # neighbor-loop unroll depth (Spark side passes the same)
+RADIUS = 3.0
+
+
+def _series_cte(m: int = M) -> str:
+    """Positional per-user series + per-window mean/std (the shared prefix
+    of every matrix-profile-family oracle)."""
+    return f"""
+    v AS MATERIALIZED (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             value
+      FROM events
+    ), stats AS MATERIALIZED (
+      SELECT user_id, pos AS i,
+             avg(value) OVER w AS mu,
+             var_pop(value) OVER w AS varp,
+             count(*) OVER w AS cnt
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+    ), subs AS MATERIALIZED (
+      SELECT user_id, i, mu, sqrt(varp) AS sig FROM stats WHERE cnt = {m}
+    )"""
+
+
+def _mp_cte(m: int = M, ez: int = EZ) -> str:
+    """All-pairs z-norm distance matrix (|i-j| > ez) + matrix profile
+    (prof = min dist per i) + profile index (pidx = argmin, first-index
+    tie-break like np.argmax over the correlation)."""
+    return f""",
+    pairs AS MATERIALIZED (
+      SELECT a.user_id, a.i, b.i AS j,
+             a.mu AS mu_i, a.sig AS sig_i, b.mu AS mu_j, b.sig AS sig_j
+      FROM subs a JOIN subs b USING (user_id)
+      WHERE abs(a.i - b.i) > {ez}
+    ), dots AS MATERIALIZED (
+      SELECT p.user_id, p.i, p.j, sum(va.value * vb.value) AS qt
+      FROM pairs p
+      JOIN v va ON va.user_id = p.user_id AND va.pos BETWEEN p.i AND p.i + {m - 1}
+      JOIN v vb ON vb.user_id = p.user_id AND vb.pos = va.pos - p.i + p.j
+      GROUP BY 1, 2, 3
+    ), dmat AS MATERIALIZED (
+      SELECT dots.user_id, dots.i, dots.j,
+             sqrt(greatest(0, 2 * {m} * (1 - (qt - {m} * mu_i * mu_j)
+                                             / ({m} * sig_i * sig_j)))) AS dist
+      FROM dots JOIN pairs USING (user_id, i, j)
+    ), prof AS MATERIALIZED (
+      SELECT user_id, i, min(dist) AS mp FROM dmat GROUP BY 1, 2
+    ), pidx AS MATERIALIZED (
+      SELECT user_id, i, struct_extract(min({{'d': dist, 'j': j}}), 'j') AS j
+      FROM dmat GROUP BY 1, 2
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# discord_discovery — k=2 argmax-with-exclusion over the MP
+# ---------------------------------------------------------------------------
+
+def discord_sql(k: int = 2, ez: int = EZ) -> str:
+    steps, outs = [], []
+    for r in range(1, k + 1):
+        excl = " AND ".join(
+            f"abs(p.i - struct_extract(r{s}.s, 'i')) > {ez}" for s in range(1, r)
+        )
+        joins = "".join(f" JOIN r{s} ON r{s}.user_id = p.user_id" for s in range(1, r))
+        where = f"WHERE {excl}" if excl else ""
+        steps.append(
+            f"r{r} AS MATERIALIZED (SELECT p.user_id, min({{'d': -round(p.mp, 4), 'i': p.i, 'v': round(p.mp, 4)}}) AS s\n"
+            f"         FROM prof p{joins} {where} GROUP BY 1)"
+        )
+        outs.append(
+            f"SELECT user_id AS conv_key, CAST({r} AS BIGINT) AS discord_rank,\n"
+            f"       CAST(struct_extract(s, 'i') AS BIGINT) AS pos,\n"
+            f"       round(struct_extract(s, 'v'), 4) AS distance FROM r{r}"
+        )
+    return (
+        "WITH" + _series_cte() + _mp_cte() + ",\n"
+        + ",\n".join(steps) + "\n"
+        + "\nUNION ALL\n".join(outs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# neighbor_search — fixed query pattern, 3 argmin-with-exclusion picks
+# ---------------------------------------------------------------------------
+
+def neighbor_search_sql(max_neighbors: int = 3, ez: int = EZ, m: int = M) -> str:
+    q = np.sin(np.arange(m) * 0.4) * 100 + 150  # mirrors plans/entry.py
+    qvals = ", ".join(f"({i}, {v!r})" for i, v in enumerate(q))
+    steps, outs = [], []
+    for r in range(1, max_neighbors + 1):
+        excl = " AND ".join(
+            f"abs(d.i - struct_extract(r{s}.s, 'i')) > {ez}" for s in range(1, r)
+        )
+        joins = "".join(f" JOIN r{s} ON r{s}.user_id = d.user_id" for s in range(1, r))
+        where = f"WHERE {excl}" if excl else ""
+        steps.append(
+            f"r{r} AS MATERIALIZED (SELECT d.user_id, min({{'d': d.dist, 'i': d.i}}) AS s\n"
+            f"         FROM dprof d{joins} {where} GROUP BY 1)"
+        )
+        outs.append(
+            f"SELECT user_id AS conv_key,\n"
+            f"       CAST(struct_extract(s, 'i') AS BIGINT) AS neighbor_pos,\n"
+            f"       round(struct_extract(s, 'd'), 4) AS distance FROM r{r}"
+        )
+    return (
+        "WITH" + _series_cte(m) + f""",
+    q(qpos, qv) AS (VALUES {qvals}),
+    qs AS (SELECT avg(qv) AS mq, stddev_pop(qv) AS sq FROM q),
+    qdots AS MATERIALIZED (
+      SELECT v.user_id, v.pos - q.qpos AS i, sum(v.value * q.qv) AS qt
+      FROM v JOIN q ON v.pos >= q.qpos
+      GROUP BY 1, 2 HAVING count(*) = {m}
+    ), dprof AS MATERIALIZED (
+      SELECT d.user_id, d.i,
+             sqrt(greatest(0, 2 * {m} * (1 - (d.qt - {m} * qs.mq * s.mu)
+                                             / ({m} * qs.sq * s.sig)))) AS dist
+      FROM qdots d JOIN subs s ON s.user_id = d.user_id AND s.i = d.i, qs
+    ),
+"""
+        + ",\n".join(steps) + "\n"
+        + "\nUNION ALL\n".join(outs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# fluss_regimes — arc counts → CAC → n_regimes-1 argmin picks
+# ---------------------------------------------------------------------------
+
+def fluss_sql(L: int = M, n_regimes: int = 3, excl_factor: int = 1) -> str:
+    ezL = excl_factor * L
+    steps, outs = [], []
+    for r in range(1, n_regimes):
+        excl = " AND ".join(
+            f"abs(c.p - struct_extract(r{s}.s, 'p')) > {ezL}" for s in range(1, r)
+        )
+        joins = "".join(f" JOIN r{s} ON r{s}.user_id = c.user_id" for s in range(1, r))
+        where = f"AND {excl}" if excl else ""
+        steps.append(
+            f"r{r} AS MATERIALIZED (SELECT c.user_id, min({{'c': c.cac, 'p': c.p}}) AS s\n"
+            f"         FROM cac c{joins} WHERE c.cac < 1.0 {where} GROUP BY 1)"
+        )
+        outs.append(
+            f"SELECT user_id AS conv_key, CAST({L} AS BIGINT) AS L,\n"
+            f"       CAST(struct_extract(s, 'p') AS BIGINT) AS regime_pos,\n"
+            f"       round(struct_extract(s, 'c'), 6) AS cac FROM r{r}"
+        )
+    return (
+        "WITH" + _series_cte() + _mp_cte() + f""",
+    cnt AS (SELECT user_id, count(*) AS l FROM subs GROUP BY 1),
+    arcs AS (SELECT user_id, least(i, j) AS lo, greatest(i, j) AS hi FROM pidx),
+    ac AS (
+      SELECT s.user_id, s.i AS p, count(a.lo) AS ac
+      FROM subs s LEFT JOIN arcs a
+        ON a.user_id = s.user_id AND a.lo <= s.i AND a.hi > s.i
+      GROUP BY 1, 2
+    ), cac AS (
+      SELECT ac.user_id, ac.p,
+             CASE WHEN ac.p < {ezL} OR ac.p >= c.l - {ezL} THEN 1.0
+                  WHEN 2.0 * ac.p * (c.l - ac.p) / c.l > 0
+                  THEN least(ac.ac / (2.0 * ac.p * (c.l - ac.p) / c.l), 1.0)
+                  ELSE 1.0 END AS cac
+      FROM ac JOIN cnt c USING (user_id)
+    ),
+"""
+        + ",\n".join(steps) + "\n"
+        + "\nUNION ALL\n".join(outs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# motif_discovery — k rounds of (argmin seed + unrolled neighbor loop)
+# ---------------------------------------------------------------------------
+
+def _seed_profile_ctes(rnd: int, m: int = M) -> str:
+    """Distance profile of round-``rnd``'s seed window against every
+    window of its conversation (the kernel's mass2(t[i:i+m], t))."""
+    return f"""
+    sd{rnd} AS MATERIALIZED (
+      SELECT s.user_id, vb.pos - (va.pos - s.i0) AS j, sum(va.value * vb.value) AS qt
+      FROM seed{rnd} s
+      JOIN v va ON va.user_id = s.user_id AND va.pos BETWEEN s.i0 AND s.i0 + {m - 1}
+      JOIN v vb ON vb.user_id = s.user_id AND vb.pos - (va.pos - s.i0) >= 0
+      GROUP BY 1, 2 HAVING count(*) = {m}
+    ), sp{rnd} AS MATERIALIZED (
+      SELECT d.user_id, d.j,
+             sqrt(greatest(0, 2 * {m} * (1 - (d.qt - {m} * sa.mu * sb.mu)
+                                             / ({m} * sa.sig * sb.sig)))) AS dist
+      FROM sd{rnd} d
+      JOIN seed{rnd} se ON se.user_id = d.user_id
+      JOIN subs sa ON sa.user_id = d.user_id AND sa.i = se.i0
+      JOIN subs sb ON sb.user_id = d.user_id AND sb.i = d.j
+    )"""
+
+
+def _neighbor_steps(rnd: int, max_nbrs: int, radius: float, ez: int) -> str:
+    """Unrolled greedy neighbor picks for round ``rnd``: step s excludes
+    ±ez around the seed pair and every earlier pick (NULL-safe: once a
+    step finds no candidate, all later steps are NULL too)."""
+    steps = []
+    for s in range(1, max_nbrs + 1):
+        prev_excl = " AND ".join(
+            f"(n{rnd}_{t}.p IS NULL OR abs(sp.j - n{rnd}_{t}.p) > {ez})"
+            for t in range(1, s)
+        )
+        joins = "".join(
+            f" JOIN n{rnd}_{t} ON n{rnd}_{t}.user_id = b.user_id" for t in range(1, s)
+        )
+        cond = f"AND {prev_excl}" if prev_excl else ""
+        steps.append(f"""
+    n{rnd}_{s} AS MATERIALIZED (
+      SELECT b.user_id,
+             (SELECT struct_extract(min({{'d': sp.dist, 'j': sp.j}}), 'j')
+              FROM sp{rnd} sp
+              WHERE sp.user_id = b.user_id AND sp.dist <= {radius} * b.d0
+                AND abs(sp.j - b.i0) > {ez} AND abs(sp.j - b.j0) > {ez} {cond}) AS p
+      FROM seed{rnd} b{joins}
+    )""")
+    plist = ", ".join(f"n{rnd}_{s}.p" for s in range(1, max_nbrs + 1))
+    njoins = "".join(
+        f" JOIN n{rnd}_{s} ON n{rnd}_{s}.user_id = se.user_id"
+        for s in range(1, max_nbrs + 1)
+    )
+    steps.append(f"""
+    nb{rnd} AS MATERIALIZED (
+      SELECT se.user_id, list_filter([{plist}], x -> x IS NOT NULL) AS nbrs
+      FROM seed{rnd} se{njoins}
+    )""")
+    return ",".join(steps)
+
+
+def motif_core_ctes(
+    k: int = 2, max_nbrs: int = MAX_NBRS, radius: float = RADIUS,
+    ez: int = EZ, m: int = M,
+) -> str:
+    """CTE chain computing seed{r} (motif pair + distance) and nb{r}
+    (neighbor list) for rounds 1..k — shared by the motif_discovery and
+    motif_label_stats oracles."""
+    parts = [f"""
+    m1 AS MATERIALIZED (SELECT user_id, min({{'d': round(mp, 4), 'i': i}}) AS s FROM prof GROUP BY 1),
+    seed1 AS MATERIALIZED (
+      -- canonical pair: smaller index drives the neighbor profile (the
+      -- kernel does the same — fp noise must not pick the representative)
+      SELECT m1.user_id,
+             least(struct_extract(m1.s, 'i'), px.j) AS i0,
+             greatest(struct_extract(m1.s, 'i'), px.j) AS j0,
+             struct_extract(m1.s, 'd') AS d0
+      FROM m1 JOIN pidx px
+        ON px.user_id = m1.user_id AND px.i = struct_extract(m1.s, 'i')
+    ),{_seed_profile_ctes(1, m)},{_neighbor_steps(1, max_nbrs, radius, ez)}"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+    ex{r - 1} AS MATERIALIZED (
+      SELECT s.user_id, list_concat([s.i0, s.j0], nb{r - 1}.nbrs) AS ex
+      FROM seed{r - 1} s JOIN nb{r - 1} ON nb{r - 1}.user_id = s.user_id
+    ), m{r} AS MATERIALIZED (
+      SELECT p.user_id, min({{'d': round(p.mp, 4), 'i': p.i}}) AS s
+      FROM prof p JOIN ex{r - 1} ON ex{r - 1}.user_id = p.user_id
+      WHERE len(list_filter(ex{r - 1}.ex, e -> abs(p.i - e) <= {ez})) = 0
+      GROUP BY 1
+    ), seed{r} AS MATERIALIZED (
+      SELECT m{r}.user_id,
+             least(struct_extract(m{r}.s, 'i'), px.j) AS i0,
+             greatest(struct_extract(m{r}.s, 'i'), px.j) AS j0,
+             struct_extract(m{r}.s, 'd') AS d0
+      FROM m{r} JOIN pidx px
+        ON px.user_id = m{r}.user_id AND px.i = struct_extract(m{r}.s, 'i')
+    ),{_seed_profile_ctes(r, m)},{_neighbor_steps(r, max_nbrs, radius, ez)}""")
+    return "".join(parts)
+
+
+def motif_sql(k: int = 2, max_nbrs: int = MAX_NBRS) -> str:
+    outs = [
+        f"""SELECT se.user_id AS conv_key, CAST({r} AS BIGINT) AS motif_rank,
+       CAST(se.i0 AS BIGINT) AS motif_pos, CAST(se.j0 AS BIGINT) AS pair_pos,
+       round(se.d0, 4) AS distance, CAST(len(nb{r}.nbrs) AS BIGINT) AS n_neighbors
+FROM seed{r} se JOIN nb{r} ON nb{r}.user_id = se.user_id"""
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH" + _series_cte() + _mp_cte() + ","
+        + motif_core_ctes(k, max_nbrs)
+        + "\n" + "\nUNION ALL\n".join(outs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# motif_label_stats — rank-1 motif occurrences classified against the
+# error-interval mask (A6/A7, patterns.py:135-243)
+# ---------------------------------------------------------------------------
+
+def motif_label_stats_sql(max_nbrs: int = MAX_NBRS, m: int = M) -> str:
+    return (
+        "WITH" + _series_cte() + _mp_cte() + ","
+        + motif_core_ctes(k=1, max_nbrs=max_nbrs)
+        + f""",
+    err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    flagged AS (
+      SELECT DISTINCT g.user_id, g.pos
+      FROM v g JOIN err e ON e.user_id = g.user_id
+        AND g.ts >= e.ts - INTERVAL 10 MINUTE
+        AND g.ts <= e.ts + INTERVAL 10 MINUTE
+    ), mask AS (
+      SELECT g.user_id, g.pos, (f.pos IS NOT NULL) AS flag
+      FROM v g LEFT JOIN flagged f ON f.user_id = g.user_id AND f.pos = g.pos
+    ), cls_len AS (
+      SELECT user_id,
+             sum(CASE WHEN flag THEN 1 ELSE 0 END) AS cls1_len,
+             sum(CASE WHEN flag THEN 0 ELSE 1 END) AS cls2_len
+      FROM mask GROUP BY 1
+    ), occ AS (
+      SELECT se.user_id, 1 AS motif_rank,
+             unnest(list_concat([se.i0, se.j0], nb1.nbrs)) AS start
+      FROM seed1 se JOIN nb1 ON nb1.user_id = se.user_id
+    ), loc AS (
+      SELECT o.user_id, o.motif_rank,
+             CASE WHEN ms.flag = me.flag
+                  THEN (CASE WHEN ms.flag THEN 'anomalous' ELSE 'normal' END)
+                  ELSE 'both' END AS loc
+      FROM occ o
+      LEFT JOIN mask ms ON ms.user_id = o.user_id AND ms.pos = o.start
+      LEFT JOIN mask me ON me.user_id = o.user_id AND me.pos = o.start + {m - 1}
+    ), counts AS (
+      SELECT user_id, motif_rank,
+             CAST(count(CASE WHEN loc = 'anomalous' THEN 1 END) AS BIGINT) AS cls1_count,
+             CAST(count(CASE WHEN loc = 'normal' THEN 1 END) AS BIGINT) AS cls2_count,
+             CAST(count(CASE WHEN loc = 'both' THEN 1 END) AS BIGINT) AS spanning_both
+      FROM loc GROUP BY 1, 2
+    ), scored AS (
+      SELECT c.user_id, c.motif_rank, c.cls1_count, c.cls2_count, c.spanning_both,
+             l.cls1_len, l.cls2_len,
+             c.cls1_count / (l.cls1_len / CAST(l.cls2_len AS DOUBLE)) AS norm1,
+             CAST(c.cls2_count AS DOUBLE) AS norm2
+      FROM counts c JOIN cls_len l USING (user_id)
+    )
+    SELECT user_id AS conv_key, CAST(motif_rank AS BIGINT) AS motif_rank,
+           cls1_count, cls2_count, spanning_both,
+           round(CASE WHEN cls1_count + cls2_count <= 2
+                        OR cls1_len = 0 OR cls2_len = 0 THEN 1.0
+                      ELSE round(1 - abs(norm1 - norm2) / (norm1 + norm2), 9)
+                 END, 6) AS cost,
+           CASE WHEN cls1_count + cls2_count <= 2
+                  OR cls1_len = 0 OR cls2_len = 0 OR norm1 = norm2 THEN 'None'
+                WHEN norm1 > norm2 THEN 'anomalous' ELSE 'normal' END AS majority
+    FROM scored
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# matrix_profile_multidim — brute-force 2-dim mSTOMP (k=1: min of per-dim
+# distances; k=2: their mean — Yeh et al. sorted-cummean construction)
+# ---------------------------------------------------------------------------
+
+def multidim_sql(m: int = M, ez: int = EZ) -> str:
+    return f"""
+    WITH v2 AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             value AS f1,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS f2
+      FROM events
+    ), st AS (
+      SELECT user_id, pos AS i,
+             avg(f1) OVER w AS mu1, var_pop(f1) OVER w AS va1,
+             avg(f2) OVER w AS mu2, var_pop(f2) OVER w AS va2,
+             count(*) OVER w AS cnt
+      FROM v2
+      WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+    ), sb AS (
+      SELECT user_id, i, mu1, sqrt(va1) AS s1, mu2, sqrt(va2) AS s2
+      FROM st WHERE cnt = {m}
+    ), prs AS (
+      SELECT a.user_id, a.i, b.i AS j,
+             a.mu1 AS mu1i, a.s1 AS s1i, b.mu1 AS mu1j, b.s1 AS s1j,
+             a.mu2 AS mu2i, a.s2 AS s2i, b.mu2 AS mu2j, b.s2 AS s2j
+      FROM sb a JOIN sb b USING (user_id)
+      WHERE abs(a.i - b.i) > {ez}
+    ), dts AS (
+      SELECT p.user_id, p.i, p.j,
+             sum(va.f1 * vb.f1) AS qt1, sum(va.f2 * vb.f2) AS qt2
+      FROM prs p
+      JOIN v2 va ON va.user_id = p.user_id AND va.pos BETWEEN p.i AND p.i + {m - 1}
+      JOIN v2 vb ON vb.user_id = p.user_id AND vb.pos = va.pos - p.i + p.j
+      GROUP BY 1, 2, 3
+    ), dd AS (
+      SELECT d.user_id, d.i, d.j,
+             sqrt(greatest(0, 2 * {m} * (1 - (qt1 - {m} * mu1i * mu1j)
+                                             / ({m} * s1i * s1j)))) AS d1,
+             sqrt(greatest(0, 2 * {m} * (1 - (qt2 - {m} * mu2i * mu2j)
+                                             / ({m} * s2i * s2j)))) AS d2
+      FROM dts d JOIN prs USING (user_id, i, j)
+    )
+    SELECT user_id AS conv_key, CAST(1 AS BIGINT) AS k, CAST(i AS BIGINT) AS pos,
+           round(min(least(d1, d2)), 4) AS mp
+    FROM dd GROUP BY user_id, i
+    UNION ALL
+    SELECT user_id, CAST(2 AS BIGINT), CAST(i AS BIGINT),
+           round(min((d1 + d2) / 2), 4)
+    FROM dd GROUP BY user_id, i
+    """
+
+
+# ---------------------------------------------------------------------------
+# changepoint_event_scores — per-event OLS on train window, val/test errors
+# ---------------------------------------------------------------------------
+
+CHANGEPOINT_SQL = """
+    WITH x AS (
+      SELECT user_id, ts, value AS y,
+             (epoch(ts) - epoch(timestamp '2024-01-01')) / 86400.0 AS xd
+      FROM events
+    ), e AS (
+      SELECT user_id, min(ts) AS event_ts
+      FROM events WHERE event_type = 'error' AND ts > timestamp '2024-01-10'
+      GROUP BY 1 HAVING min(ts) > timestamp '2024-01-10'
+    ), j AS (
+      SELECT x.user_id, x.ts, x.y, x.xd, e.event_ts,
+             CASE WHEN x.ts < e.event_ts - INTERVAL 2 DAY THEN 'train'
+                  WHEN x.ts < e.event_ts THEN 'val' ELSE 'test' END AS split
+      FROM x JOIN e ON x.user_id = e.user_id
+        AND x.ts >= e.event_ts - INTERVAL 7 DAY - INTERVAL 2 DAY
+        AND x.ts < e.event_ts + INTERVAL 2 DAY
+    ), fit AS (
+      SELECT user_id,
+             (avg(xd * y) - avg(xd) * avg(y))
+             / (avg(xd * xd) - avg(xd) * avg(xd)) AS slope,
+             avg(y) AS my, avg(xd) AS mx
+      FROM j WHERE split = 'train' GROUP BY 1
+    ), p AS (
+      SELECT j.user_id, j.split, j.y,
+             (fit.my - fit.slope * fit.mx) + fit.slope * j.xd AS pred
+      FROM j JOIN fit USING (user_id) WHERE j.split != 'train'
+    ), ps AS (
+      SELECT user_id, split, avg(y - pred) AS me,
+             avg(abs(y - pred)) / avg(y) AS mape
+      FROM p GROUP BY 1, 2
+    ), val AS (
+      SELECT user_id, me AS val_me, mape AS val_mape FROM ps WHERE split = 'val'
+    ), tst AS (
+      SELECT user_id, me AS test_me FROM ps WHERE split = 'test'
+    )
+    SELECT CAST(v.user_id AS VARCHAR) AS event_id,
+           round(val_me, 6) AS val_me, round(val_mape, 6) AS val_mape,
+           round(test_me, 6) AS test_me,
+           round((test_me - val_me) / nullif(abs(val_me), 0), 6) AS ratio
+    FROM val v JOIN tst t ON v.user_id = t.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 64-bit md5-token simhash, all-pairs hamming verify
+# (pigeonhole: the Spark blocking with max_hamming < n_blocks is exactly
+# equivalent to the brute-force hamming filter, so the oracle skips blocks)
+# ---------------------------------------------------------------------------
+
+def simhash_sql(planted_sql: str, max_hamming: int = 6) -> str:
+    hex_to_hugeint = (
+        "list_sum(list_transform(range(1, 17), i -> "
+        "CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS HUGEINT)"
+        " * (CAST(1 AS HUGEINT) << (4 * (16 - i)))))"
+    )
+    return f"""
+    WITH d AS ({planted_sql}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d),
+    th AS (SELECT doc_id, {hex_to_hugeint} AS h FROM tok),
+    bits AS (
+      SELECT t.doc_id, r.range AS b,
+             sum(CAST((t.h // (CAST(1 AS HUGEINT) << r.range)) % 2 AS BIGINT)) AS ones,
+             count(*) AS n
+      FROM th t CROSS JOIN range(64) r GROUP BY 1, 2
+    ), simh AS (
+      SELECT doc_id,
+             sum(CASE WHEN ones * 2 >= n THEN CAST(1 AS HUGEINT) << b
+                      ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM bits GROUP BY 1
+    ), simi AS (
+      SELECT doc_id,
+             CAST(CASE WHEN h >= CAST(1 AS HUGEINT) << 63
+                       THEN h - (CAST(1 AS HUGEINT) << 64) ELSE h END AS BIGINT) AS sim
+      FROM simh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM simi a JOIN simi b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding LSH oracles — hyperplanes inlined as literals (same seed)
+# ---------------------------------------------------------------------------
+
+def _planes_values(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    rows = []
+    for b, p in enumerate(planes):
+        lst = ", ".join(repr(float(x)) for x in p)
+        rows.append(f"({b}, [{lst}])")
+    return ",\n      ".join(rows)
+
+
+_DOTQ = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({v}[i] AS DOUBLE) * CAST({w}[i] AS DOUBLE)))"
+)
+
+
+def _bucket_cte(src: str, n_planes: int = 6) -> str:
+    dot = _DOTQ.format(v="e.embedding", w="p.pl")
+    return f"""
+    planes(b, pl) AS (VALUES {_planes_values(n_planes)}),
+    bk AS (
+      SELECT e.vec_id, e.embedding,
+             sum(CASE WHEN {dot} >= 0 THEN 1 << p.b ELSE 0 END) AS bucket
+      FROM {src} e CROSS JOIN planes p GROUP BY 1, 2
+    )"""
+
+
+def embedding_topk_lsh_sql(k: int = 3, n_planes: int = 6) -> str:
+    cos = (
+        f"round({_DOTQ.format(v='q.embedding', w='c.embedding')}"
+        f" / sqrt({_DOTQ.format(v='q.embedding', w='q.embedding')}"
+        f" * {_DOTQ.format(v='c.embedding', w='c.embedding')}), 6)"
+    )
+    return f"""
+    WITH {_bucket_cte('embeddings', n_planes)},
+    q AS (SELECT vec_id AS query_id, embedding, bucket FROM bk WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id, {cos} AS cos
+      FROM bk c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+    ), r AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cos, rank FROM r WHERE rank <= {k}
+    """
+
+
+def embedding_near_dups_sql(threshold: float = 0.99, n_planes: int = 6) -> str:
+    cos = (
+        f"round({_DOTQ.format(v='a.embedding', w='b.embedding')}"
+        f" / sqrt({_DOTQ.format(v='a.embedding', w='a.embedding')}"
+        f" * {_DOTQ.format(v='b.embedding', w='b.embedding')}), 6)"
+    )
+    return f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+    ), {_bucket_cte('planted', n_planes).lstrip()}
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {cos} AS cos
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# multimodal — the fake codec is pure arithmetic over utf8 byte values
+# (documents.text is ASCII, verified: ascii(substr(text,i,1)) == byte i)
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_FEATURES_SQL = """
+    WITH s AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L,
+             greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS BIGINT)) AS side
+      FROM documents
+    )
+    SELECT doc_id, 'image' AS modality,
+           CAST(L AS BIGINT) AS n_bytes,
+           side AS width, side AS height,
+           round(coalesce(
+             list_avg(list_transform(range((side * side) // 8),
+                      p -> CAST(ascii(substr(text, CAST(p AS INT) + 1, 1)) AS DOUBLE))),
+             0.0), 6) AS feat0
+    FROM s
+"""
+
+MULTIMODAL_FRAMES_SQL = """
+    WITH s AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+    f AS (
+      SELECT doc_id, L,
+             unnest(range(0, CAST(ceil(L / 64.0) AS BIGINT), 4)) AS frame_idx
+      FROM s
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(least(64, L - frame_idx * 64) AS BIGINT) AS frame_bytes
+    FROM f
+"""
