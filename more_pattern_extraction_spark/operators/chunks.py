@@ -29,8 +29,6 @@ from pyspark.sql import functions as F
 from more_pattern_extraction_spark.functions.encode import (
     decode_dod,
     decode_gorilla,
-    encode_dod,
-    encode_gorilla,
 )
 
 CHUNK_SCHEMA = (
@@ -56,37 +54,83 @@ def encode_chunks(
 
     ``chunk_unit`` defaults to one day of 1m buckets / one month of 1h
     buckets / one year of 1d buckets (≤1440 points per chunk each way).
+
+    Physical plan: repartition by ``(conv_id, ts_bucket)`` — a hot
+    multi-year conversation spreads across many tasks instead of pinning
+    one — then ``sortWithinPartitions`` so chunk groups arrive contiguous,
+    and a single ``mapInPandas`` encodes EVERY chunk of an Arrow batch in
+    one vectorized numpy pass (functions/encode.encode_*_many; the
+    per-group Python overhead of grouped UDFs dominated before).  Arrow
+    batches can split a chunk group, so the trailing partial group of each
+    batch is carried into the next and flushed at end-of-partition.
     """
     unit = chunk_unit or _CHUNK_UNIT[tier]
     feats = list(features)
 
-    # group by conv_id ONLY: applyInPandas pays one JVM↔Python Arrow round
-    # trip per group (~5-10 ms); with (conv, day) keys that overhead
-    # dominates (thousands of tiny groups).  The per-chunk split happens
-    # inside pandas.  A conversation's whole tier-grid must fit one task —
-    # for 1m tiers that is 1440 rows/day; genuinely hot multi-year convs
-    # would sub-key on a coarser ts window first (plans/partitioning).
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_start")
-        rows = []
-        for (conv, tsb), g in pdf.groupby(["conv_id", "ts_bucket"], sort=False):
-            ts = g["bucket_start"].astype("datetime64[ns]").astype("int64").to_numpy()
-            ts_dod = encode_dod(ts)
-            for f in feats:
-                vals = g[f].to_numpy(dtype="float64", na_value=float("nan"))
-                rows.append(
-                    (conv, tsb, tier, f, len(g), g["bucket_start"].iloc[0],
-                     float(vals[0]) if len(vals) else None, ts_dod,
-                     encode_gorilla(vals))
-                )
-        return pd.DataFrame(
-            rows,
-            columns=["conv_id", "ts_bucket", "tier", "feature", "n",
-                     "first_ts", "first_value", "ts_dod", "values_gorilla"],
+    def _encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from more_pattern_extraction_spark.functions.encode import (
+            encode_dod_many,
+            encode_gorilla_many,
         )
 
-    keyed = rollup.withColumn("ts_bucket", F.date_trunc(unit, "bucket_start"))
-    return keyed.groupBy("conv_id").applyInPandas(enc, CHUNK_SCHEMA)
+        conv = pdf["conv_id"].to_numpy(dtype=object)
+        tsb = pdf["ts_bucket"].to_numpy()
+        new = np.ones(len(pdf), dtype=bool)
+        new[1:] = (conv[1:] != conv[:-1]) | (tsb[1:] != tsb[:-1])
+        chunk_ids = np.cumsum(new) - 1
+        n_chunks = int(chunk_ids[-1]) + 1
+        first_idx = np.flatnonzero(new)
+        n_per = np.bincount(chunk_ids, minlength=n_chunks)
+
+        ts = pdf["bucket_start"].astype("datetime64[ns]").astype("int64").to_numpy()
+        ts_dod = encode_dod_many(ts, chunk_ids, n_chunks)
+        parts = []
+        for f in feats:
+            vals = pdf[f].to_numpy(dtype="float64", na_value=float("nan"))
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv[first_idx],
+                        "ts_bucket": tsb[first_idx],
+                        "tier": tier,
+                        "feature": f,
+                        "n": n_per.astype("int32"),
+                        "first_ts": pdf["bucket_start"].to_numpy()[first_idx],
+                        "first_value": vals[first_idx],
+                        "ts_dod": ts_dod,
+                        "values_gorilla": encode_gorilla_many(vals, chunk_ids, n_chunks),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def enc_iter(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing (conv, ts_bucket) group — it may
+            # continue in the next Arrow batch of this partition
+            last_conv = pdf["conv_id"].iloc[-1]
+            last_tsb = pdf["ts_bucket"].iloc[-1]
+            tail = (pdf["conv_id"] == last_conv) & (pdf["ts_bucket"] == last_tsb)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _encode_batch(body)
+        if carry is not None and len(carry):
+            yield _encode_batch(carry)
+
+    keyed = (
+        rollup.withColumn("ts_bucket", F.date_trunc(unit, "bucket_start"))
+        .repartition("conv_id", "ts_bucket")
+        .sortWithinPartitions("conv_id", "ts_bucket", "bucket_start")
+    )
+    return keyed.mapInPandas(enc_iter, CHUNK_SCHEMA)
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:

@@ -42,17 +42,19 @@ def shingles(text_col: str = "text", n: int = 3):
     shingle and throws under ``spark.sql.ansi.enabled`` (element_at past
     the array end)."""
     toks = tokenize(text_col)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with over n shifted slices: each slice evaluates the token array
+    # ONCE PER ROW.  (The element_at-in-lambda construction re-evaluated
+    # split(text) per array element — ~n·len(toks) full-text splits per
+    # row, the measured hot spot of the LSH pipeline.)
+    L = F.size(toks) - (n - 1)
+    sh = F.slice(toks, 1, L)
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, L), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -127,9 +129,22 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_width: int = 4096,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature → band keys → bucket join →
-    exact Jaccard verify on candidates only."""
+    exact Jaccard verify on candidates only.
+
+    Scale shape (the 100 TB story):
+      * the banded table carries ``(doc, band, key)`` ONLY — shingle
+        arrays never enter the ×bands explode or the bucket self-join;
+        they are re-joined just for the verify step, whose input is the
+        (small) deduplicated candidate-pair set;
+      * ``max_bucket_width`` bounds the O(w²) self-join of a viral bucket
+        (boilerplate text): each bucket keeps its ``max_bucket_width``
+        lowest doc ids (deterministic).  Docs cut from one hot bucket can
+        still pair through their other bands; exact-duplicate clusters
+        should be collapsed by exact_dedup upstream.
+    """
     rows_per_band = n_hashes // bands
     s = (
         docs.select(
@@ -139,11 +154,9 @@ def minhash_lsh_pairs(
         # empty shingle sets (texts shorter than n tokens) would all share
         # one all-NULL signature and collapse into a single mega-bucket
         .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     )
-    banded = s.select(
+    banded = s.withColumn("sig", minhash_signature(F.col("sh"), n_hashes)).select(
         "doc",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -157,24 +170,35 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_width:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy("doc")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_width)
+            .drop("_rn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc") < F.col("b.doc")))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    sh_a = s.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = s.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

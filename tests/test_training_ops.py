@@ -58,6 +58,27 @@ def test_minhash_lsh_finds_planted(spark, docs):
     assert (0, 100) in pairs and (1, 101) in pairs
 
 
+def test_minhash_lsh_bucket_cap_bounds_viral_bucket(spark, docs):
+    """A viral bucket (many identical texts) is capped at max_bucket_width
+    lowest doc ids: candidate pairs stay O(cap²) instead of O(w²), and the
+    kept ids still pair among themselves."""
+    viral = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": range(200, 230), "source": "v",
+             "text": "boiler plate text repeated verbatim many times over and over again"}
+        )
+    )
+    d = docs.unionByName(viral)
+    capped = DD.minhash_lsh_pairs(d, threshold=0.5, max_bucket_width=10).toPandas()
+    vir = capped[(capped.doc_a >= 200) & (capped.doc_b >= 200)]
+    # 10 kept ids → exactly C(10,2) = 45 viral pairs, all among 200..209
+    assert len(vir) == 45
+    assert vir.doc_a.max() <= 209 and vir.doc_b.max() <= 209
+    # planted near-dups outside the viral bucket are unaffected
+    pairs = set(zip(capped.doc_a, capped.doc_b))
+    assert (0, 100) in pairs and (1, 101) in pairs
+
+
 def _py_simhash(text: str) -> int:
     toks = text.split(" ")
     acc = np.zeros(64)
