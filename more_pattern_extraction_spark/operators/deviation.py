@@ -17,6 +17,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fit_polynomial_models(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str = "event_id",
+    degree: int = 2,
+    alpha: float = 0.0,
+) -> DataFrame:
+    """Per-group polynomial (ridge) fit via normal equations (the
+    reference's model family: PolynomialFeatures + Ridge,
+    learning.py:37-74,180-228).  Grouped pandas UDF, closed form —
+    (VᵀV + αI)⁻¹Vᵀy with V the increasing-power Vandermonde; α penalizes
+    every coefficient including the intercept (documented difference from
+    sklearn's fit_intercept handling).  Returns (group, coefs) with
+    coefs[k] the x^k coefficient."""
+    import numpy as np
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        V = np.vander(x, degree + 1, increasing=True)
+        A = V.T @ V + alpha * np.eye(degree + 1)
+        c = np.linalg.solve(A, V.T @ y)
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "coefs": [list(c)]})
+
+    return df.groupBy(group_col).applyInPandas(
+        f, f"{group_col} string, coefs array<double>"
+    )
+
+
+def _poly2_fit_relational(train: DataFrame, y_col: str, x_col: str, key: str) -> DataFrame:
+    """Closed-form degree-2 OLS per key in PURE Catalyst: Cramer's rule
+    over the 3×3 normal-equation moments — no UDF, and (crucially for the
+    DuckDB oracle) the exact same arithmetic expression on both engines."""
+    x, y = F.col(x_col), F.col(y_col)
+    mo = train.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("s0"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+        F.sum(y).alias("t0"),
+        F.sum(x * y).alias("t1"),
+        F.sum(x * x * y).alias("t2"),
+    )
+    s0, s1, s2, s3, s4 = [F.col(c) for c in ("s0", "s1", "s2", "s3", "s4")]
+    t0, t1, t2 = [F.col(c) for c in ("t0", "t1", "t2")]
+    det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)
+    c0 = (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) + s2 * (t1 * s3 - s2 * t2)) / det
+    c1 = (s0 * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)) / det
+    c2 = (s0 * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s3 - s2 * s2)) / det
+    return mo.select(key, c0.alias("c0"), c1.alias("c1"), c2.alias("c2"))
+
+
 def fit_reference_model(
     df: DataFrame,
     y_col: str,
@@ -96,12 +151,26 @@ def changepoint_event_scores(
     train_w: str = "7 days",
     val_w: str = "2 days",
     test_w: str = "2 days",
+    degree: int = 1,
+    alpha: float = 0.0,
+    relative_x: bool = False,
 ) -> DataFrame:
-    """Per labeled event (changepoint_scores, learning.py:180-228): fit OLS
-    on [event − train_w − val_w, event − val_w), validate on
+    """Per labeled event (changepoint_scores, learning.py:180-228): fit a
+    degree-``degree`` polynomial (ridge if ``alpha`` > 0, matching the
+    reference's PolynomialFeatures+Ridge family, learning.py:37-74) on
+    [event − train_w − val_w, event − val_w), validate on
     [event − val_w, event), test on [event, event + test_w); emit
     val/test error measures + the ratio used for ranking
     (changepoint_detection.ipynb cells 28-36).
+
+    degree 1/2 with alpha 0 run CLOSED-FORM in pure Catalyst (degree 2
+    via Cramer's rule over normal-equation moments); other settings use
+    the grouped-UDF normal-equation fit.
+
+    ``relative_x`` replaces ``x_col`` with days-relative-to-event
+    ((ts − event_ts)/86400): a small, centered regressor that keeps the
+    quadratic normal equations well-conditioned regardless of the series'
+    absolute epoch.
 
     events: (event_id, event_ts [, join cols]).  Small → broadcast; each
     data row joins the events whose windows cover it (range join), tagged
@@ -127,23 +196,49 @@ def changepoint_event_scores(
         .when(F.col("ts") < F.col("event_ts"), "val")
         .otherwise("test"),
     )
-    x, y = F.col(x_col), F.col(y_col)
-    fit = (
-        e.filter(F.col("split") == "train")
-        .groupBy("event_id")
-        .agg(
-            ((F.avg(x * y) - F.avg(x) * F.avg(y))
-             / (F.avg(x * x) - F.avg(x) * F.avg(x))).alias("slope"),
-            (F.avg(y)).alias("_my"),
-            (F.avg(x)).alias("_mx"),
+    if relative_x:
+        # NTZ timestamps need the hop through TIMESTAMP before DOUBLE;
+        # session TZ is UTC so this equals DuckDB's epoch()
+        sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+        e = e.withColumn("_xfit", (sec("ts") - sec("event_ts")) / 86400.0)
+        xname = "_xfit"
+    else:
+        xname = x_col
+    x, y = F.col(xname), F.col(y_col)
+    train = e.filter(F.col("split") == "train")
+    if degree == 1 and alpha == 0.0:
+        fit = (
+            train.groupBy("event_id")
+            .agg(
+                ((F.avg(x * y) - F.avg(x) * F.avg(y))
+                 / (F.avg(x * x) - F.avg(x) * F.avg(x))).alias("slope"),
+                (F.avg(y)).alias("_my"),
+                (F.avg(x)).alias("_mx"),
+            )
+            .select(
+                "event_id", "slope",
+                (F.col("_my") - F.col("slope") * F.col("_mx")).alias("intercept"),
+            )
         )
-        .select(
-            "event_id", "slope",
-            (F.col("_my") - F.col("slope") * F.col("_mx")).alias("intercept"),
+        pr = F.col("intercept") + F.col("slope") * x
+    elif degree == 2 and alpha == 0.0:
+        # closed-form quadratic per event — pure Catalyst, no UDF
+        fit = _poly2_fit_relational(train, y_col, xname, "event_id")
+        pr = F.col("c0") + F.col("c1") * x + F.col("c2") * x * x
+    else:
+        # general degree / ridge: grouped-UDF normal equations, then a
+        # JVM-side fold over the coefficient array for prediction
+        fit = fit_polynomial_models(train, y_col, xname, "event_id", degree, alpha)
+        pr = F.aggregate(
+            F.zip_with(
+                F.col("coefs"),
+                F.sequence(F.lit(0), F.lit(degree)),
+                lambda c, p: c * F.pow(x, p.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    )
     scored = e.filter(F.col("split") != "train").join(F.broadcast(fit), "event_id")
-    pr = F.col("intercept") + F.col("slope") * x
     per_split = scored.groupBy("event_id", "split").agg(
         F.avg(y - pr).alias("me"),
         (F.avg(F.abs(y - pr)) / F.avg(y)).alias("mape"),

@@ -94,6 +94,115 @@ def matrix_profile(
     return grid.groupBy("conv_id").applyInPandas(f, MP_SCHEMA)
 
 
+def corrected_matrix_profile(
+    grid: DataFrame,
+    m: int,
+    value_col: str = "latency_avg_filled",
+    ez: int | None = None,
+    order_col: str = "bucket_start",
+) -> DataFrame:
+    """W3 annotation-vector-corrected MP (reference compute_mp_av /
+    apply_av, patterns.py:68-93; genlib.py:116-119): cmp = mp +
+    (1 − av)·max(mp), av = min-max-normalized window complexity
+    sqrt(Σ diff²).
+
+    The annotation vector is RELATIONAL (window sum of squared diffs +
+    per-conversation min-max — pure Catalyst, no UDF); only the base MP
+    comes from the STOMP kernel.  Returns (conv_id, pos, mp, pi, av, cmp).
+    """
+    mp = matrix_profile(grid, m, value_col, ez, order_col)
+    w_ord = Window.partitionBy("conv_id").orderBy(order_col)
+    d = F.col(value_col) - F.lag(value_col).over(w_ord)
+    comp_frame = Window.partitionBy("conv_id").orderBy(order_col).rowsBetween(1, m - 1)
+    comp = (
+        with_positions(grid, order_col)
+        .withColumn("_d2", d * d)
+        .withColumn("comp", F.sqrt(F.sum("_d2").over(comp_frame)))
+        .select("conv_id", "pos", "comp")
+    )
+    # min-max over MP positions only (the kernel normalizes over the l
+    # complete windows); join on the MP table restricts the range
+    scoped = mp.select("conv_id", "pos").join(comp, ["conv_id", "pos"])
+    rng = scoped.groupBy("conv_id").agg(
+        F.min("comp").alias("_lo"), F.max("comp").alias("_hi")
+    )
+    av = (
+        scoped.join(rng, "conv_id")
+        .withColumn(
+            "av",
+            F.when(F.col("_hi") - F.col("_lo") < 1e-13, F.lit(1.0)).otherwise(
+                (F.col("comp") - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+            ),
+        )
+        .select("conv_id", "pos", "av")
+    )
+    mx = mp.filter(F.col("mp") != float("inf")).groupBy("conv_id").agg(
+        F.max("mp").alias("_mx")
+    )
+    return (
+        mp.join(av, ["conv_id", "pos"])
+        .join(mx, "conv_id")
+        .withColumn("cmp", F.col("mp") + (1 - F.col("av")) * F.col("_mx"))
+        .select("conv_id", "pos", "mp", "pi", "av", "cmp")
+    )
+
+
+def subspace_columns(
+    grid: DataFrame,
+    m: int,
+    value_cols: list[str],
+    k: int | None = None,
+    include: list[int] | None = None,
+    ez: int | None = None,
+    order_col: str = "bucket_start",
+) -> DataFrame:
+    """W12 pick_subspace_columns (reference patterns.py:7-35 →
+    stumpy.subspace): for each conversation, find the best (k+1)-dim motif
+    pair in the k-dim MP and rank which dimensions participate.
+
+    Selection runs on round-4 profile values with the canonical
+    smaller-index pair representative (engine-portable, see
+    top_k_motifs_kernel)."""
+    import numpy as np
+
+    from more_pattern_extraction_spark.functions.kernels import subspace_kernel
+
+    cols = list(value_cols)
+    kk = (len(cols) - 1) if k is None else k
+    schema = "conv_id string, motif_pos int, nn_pos int, dim_rank int, dim string"
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        ts = pdf[cols].to_numpy(dtype="float64", na_value=np.nan).T
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in
+             [("conv_id", "str"), ("motif_pos", "int32"), ("nn_pos", "int32"),
+              ("dim_rank", "int32"), ("dim", "str")]}
+        )
+        if ts.shape[1] < m:
+            return empty
+        mps, idx = mstomp(ts, m, ez, include)
+        prof = np.round(mps[kk], 4)
+        fin = np.isfinite(prof)
+        if not fin.any():
+            return empty
+        a = int(np.argmin(np.where(fin, prof, np.inf)))
+        b = int(idx[kk][a])
+        i, j = (a, b) if a <= b else (b, a)
+        order = subspace_kernel(ts, m, i, j, kk, include)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "motif_pos": np.int32(i),
+                "nn_pos": np.int32(j),
+                "dim_rank": np.arange(1, len(order) + 1, dtype="int32"),
+                "dim": [cols[d] for d in order],
+            }
+        )
+
+    return grid.groupBy("conv_id").applyInPandas(f, schema)
+
+
 def matrix_profile_multidim(
     grid: DataFrame,
     m: int,

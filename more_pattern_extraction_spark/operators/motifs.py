@@ -39,17 +39,29 @@ def top_k_motifs(
     max_neighbors: int = 50,
     value_col: str = "latency_avg_filled",
     order_col: str = "bucket_start",
+    use_cmp: bool = False,
 ) -> DataFrame:
     """Top-k motif pairs + radius-neighbors per conversation (reference
-    get_top_k_motifs, similarity.py:8-29)."""
+    get_top_k_motifs, similarity.py:8-29).
+
+    ``use_cmp`` applies the complexity annotation vector before ranking
+    (W3, patterns.py:68-93 / genlib.py:116-119): motif seeds are picked
+    from cmp = mp + (1 − av)·max(mp), de-prioritizing flat windows."""
     ezv = ez if ez is not None else int(np.floor(m * 0.25 * 4) // 4) or int(np.ceil(m / 4))
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        from more_pattern_extraction_spark.functions.kernels import (
+            apply_av,
+            complexity_av,
+        )
+
         pdf = pdf.sort_values(order_col)
         t = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
         rows = []
         if len(t) >= m:
             mp, pi = stomp(t, m)
+            if use_cmp:
+                mp = apply_av(mp, complexity_av(t, m))
             motifs = top_k_motifs_kernel(
                 t, mp, pi, m, ezv, radius, k, max_neighbors
             )

@@ -985,6 +985,64 @@ def matrix_profile_multidim_q(spark, sf_dir):
     )
 
 
+@register("corrected_matrix_profile")  # oracle: plans/oracles.corrected_mp_sql
+def corrected_matrix_profile_q(spark, sf_dir):
+    """W3 annotation-vector-corrected MP (compute_mp_av/apply_av,
+    patterns.py:68-93; genlib.py:116-119): relational complexity AV over
+    the grid + STOMP base profile; cmp = mp + (1-av)·max(mp)."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+
+    series = _event_series(spark, sf_dir)
+    out = MP.corrected_matrix_profile(series, _MP_M)
+    return out.filter(F.col("mp") != float("inf")).select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("mp", 4).alias("mp"),
+        F.round("av", 6).alias("av"),
+        F.round("cmp", 4).alias("cmp"),
+    )
+
+
+@register("motif_discovery_corrected")  # oracle: motif_sql(corrected=True)
+def motif_discovery_corrected(spark, sf_dir):
+    """W3 end-to-end: top-k motifs ranked over the COMPLEXITY-CORRECTED
+    profile (the reference applies the AV before motif extraction,
+    genlib.py:116-119)."""
+    from more_pattern_extraction_spark.operators import motifs as MO
+
+    series = _event_series(spark, sf_dir)
+    mo = MO.top_k_motifs(
+        series, m=_MP_M, k=2, radius=3.0, ez=_MP_EZ, max_neighbors=10, use_cmp=True
+    )
+    return mo.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "motif_rank", "motif_pos", "pair_pos",
+        F.round("distance", 4).alias("distance"),
+        F.size("neighbors").alias("n_neighbors"),
+    )
+
+
+@register("subspace_columns")  # oracle: plans/oracles.subspace_sql
+def subspace_columns_q(spark, sf_dir):
+    """W12 pick_subspace_columns (patterns.py:7-35): which dimensions
+    participate in the best 2-dim motif, ranked by per-dim z-norm
+    distance between the pair's subsequences."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+
+    series = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_start"),
+        "event_id",
+        F.col("value").alias("f1"),
+        F.get_json_object("props", "$.k").cast("double").alias("f2"),
+    )
+    out = MP.subspace_columns(series, _MP_M, ["f1", "f2"], k=1)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "motif_pos", "nn_pos", "dim_rank", "dim",
+    )
+
+
 @register("motif_label_stats")  # rows-only: A6/A7 motif-vs-mask statistics
 def motif_label_stats(spark, sf_dir):
     """A6/A7 calculate_motif_stats (patterns.py:135-243): motifs classified
@@ -1220,6 +1278,35 @@ def changepoint_event_scores_q(spark, sf_dir):
         .filter(F.col("event_ts") > "2024-01-10")
     )
     out = DV.changepoint_event_scores(ev.drop("event_id"), events, "value", "xd")
+    return out.select(
+        "event_id",
+        F.round("val_me", 6).alias("val_me"),
+        F.round("val_mape", 6).alias("val_mape"),
+        F.round("test_me", 6).alias("test_me"),
+        F.round("ratio", 6).alias("ratio"),
+    )
+
+
+@register("changepoint_event_scores_poly2")  # oracle: CHANGEPOINT_POLY2_SQL
+def changepoint_event_scores_poly2(spark, sf_dir):
+    """§3.3 changepoint_scores with the reference's POLYNOMIAL model family
+    (PolynomialFeatures deg 2 + Ridge α=0, learning.py:37-74,180-228):
+    closed-form quadratic per event in pure Catalyst (Cramer over moment
+    sums), regressor = days relative to the event."""
+    from more_pattern_extraction_spark.operators import deviation as DV
+
+    ev = _events(spark, sf_dir)
+    events = (
+        ev.filter((F.col("event_type") == "error") & (F.col("ts") > "2024-01-10"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("event_ts"))
+        .select(F.col("user_id").cast("string").alias("event_id"), "event_ts",
+                "user_id")
+        .filter(F.col("event_ts") > "2024-01-10")
+    )
+    out = DV.changepoint_event_scores(
+        ev.drop("event_id"), events, "value", "ts", degree=2, relative_x=True
+    )
     return out.select(
         "event_id",
         F.round("val_me", 6).alias("val_me"),
@@ -1640,9 +1727,13 @@ ORACLES["discord_discovery"] = _OR.discord_sql(k=2)
 ORACLES["neighbor_search"] = _OR.neighbor_search_sql(max_neighbors=3)
 ORACLES["fluss_regimes"] = _OR.fluss_sql(L=_MP_M, n_regimes=3, excl_factor=1)
 ORACLES["motif_discovery"] = _OR.motif_sql(k=2, max_nbrs=10)
+ORACLES["motif_discovery_corrected"] = _OR.motif_sql(k=2, max_nbrs=10, corrected=True)
+ORACLES["corrected_matrix_profile"] = _OR.corrected_mp_sql()
+ORACLES["subspace_columns"] = _OR.subspace_sql()
 ORACLES["motif_label_stats"] = _OR.motif_label_stats_sql(max_nbrs=10)
 ORACLES["matrix_profile_multidim"] = _OR.multidim_sql()
 ORACLES["changepoint_event_scores"] = _OR.CHANGEPOINT_SQL
+ORACLES["changepoint_event_scores_poly2"] = _OR.CHANGEPOINT_POLY2_SQL
 ORACLES["dedup_simhash"] = _OR.simhash_sql(_PLANTED_SQL, max_hamming=6)
 ORACLES["embedding_topk_lsh"] = _OR.embedding_topk_lsh_sql(k=3, n_planes=6)
 ORACLES["embedding_near_dups"] = _OR.embedding_near_dups_sql(threshold=0.99)

@@ -193,6 +193,53 @@ def fluss_sql(L: int = M, n_regimes: int = 3, excl_factor: int = 1) -> str:
     )
 
 
+def _cav_ctes(m: int = M) -> str:
+    """Complexity annotation vector + corrected profile (W3,
+    patterns.py:68-93): comp = sqrt(window sum of diff^2), av = per-conv
+    min-max of comp, cprof = mp + (1 - av) * max(mp)."""
+    return f""",
+    dsq AS (
+      SELECT user_id, pos,
+             (value - lag(value) OVER (PARTITION BY user_id ORDER BY pos))
+             * (value - lag(value) OVER (PARTITION BY user_id ORDER BY pos)) AS dd
+      FROM v
+    ), compw AS (
+      SELECT user_id, pos AS i,
+             sqrt(sum(dd) OVER (PARTITION BY user_id ORDER BY pos
+                                ROWS BETWEEN 1 FOLLOWING AND {m - 1} FOLLOWING)) AS comp
+      FROM dsq
+    ), comps AS MATERIALIZED (
+      SELECT c.user_id, c.i, c.comp
+      FROM compw c JOIN subs s ON s.user_id = c.user_id AND s.i = c.i
+    ), rng AS (
+      SELECT user_id, min(comp) AS lo, max(comp) AS hi FROM comps GROUP BY 1
+    ), av AS MATERIALIZED (
+      SELECT c.user_id, c.i,
+             CASE WHEN r.hi - r.lo < 1e-13 THEN 1.0
+                  ELSE (c.comp - r.lo) / (r.hi - r.lo) END AS av
+      FROM comps c JOIN rng r USING (user_id)
+    ), mxv AS (
+      SELECT user_id, max(mp) AS mx FROM prof GROUP BY 1
+    ), cprof AS MATERIALIZED (
+      SELECT p.user_id, p.i, p.mp + (1 - a.av) * x.mx AS mp
+      FROM prof p
+      JOIN av a ON a.user_id = p.user_id AND a.i = p.i
+      JOIN mxv x ON x.user_id = p.user_id
+    )"""
+
+
+def corrected_mp_sql() -> str:
+    return (
+        "WITH" + _series_cte() + _mp_cte() + _cav_ctes() + """
+    SELECT p.user_id AS conv_key, CAST(p.i AS BIGINT) AS pos,
+           round(p.mp, 4) AS mp, round(a.av, 6) AS av, round(c.mp, 4) AS cmp
+    FROM prof p
+    JOIN av a ON a.user_id = p.user_id AND a.i = p.i
+    JOIN cprof c ON c.user_id = p.user_id AND c.i = p.i
+    """
+    )
+
+
 # ---------------------------------------------------------------------------
 # motif_discovery — k rounds of (argmin seed + unrolled neighbor loop)
 # ---------------------------------------------------------------------------
@@ -256,13 +303,13 @@ def _neighbor_steps(rnd: int, max_nbrs: int, radius: float, ez: int) -> str:
 
 def motif_core_ctes(
     k: int = 2, max_nbrs: int = MAX_NBRS, radius: float = RADIUS,
-    ez: int = EZ, m: int = M,
+    ez: int = EZ, m: int = M, prof_tbl: str = "prof",
 ) -> str:
     """CTE chain computing seed{r} (motif pair + distance) and nb{r}
     (neighbor list) for rounds 1..k — shared by the motif_discovery and
     motif_label_stats oracles."""
     parts = [f"""
-    m1 AS MATERIALIZED (SELECT user_id, min({{'d': round(mp, 4), 'i': i}}) AS s FROM prof GROUP BY 1),
+    m1 AS MATERIALIZED (SELECT user_id, min({{'d': round(mp, 4), 'i': i}}) AS s FROM {prof_tbl} GROUP BY 1),
     seed1 AS MATERIALIZED (
       -- canonical pair: smaller index drives the neighbor profile (the
       -- kernel does the same — fp noise must not pick the representative)
@@ -280,7 +327,7 @@ def motif_core_ctes(
       FROM seed{r - 1} s JOIN nb{r - 1} ON nb{r - 1}.user_id = s.user_id
     ), m{r} AS MATERIALIZED (
       SELECT p.user_id, min({{'d': round(p.mp, 4), 'i': p.i}}) AS s
-      FROM prof p JOIN ex{r - 1} ON ex{r - 1}.user_id = p.user_id
+      FROM {prof_tbl} p JOIN ex{r - 1} ON ex{r - 1}.user_id = p.user_id
       WHERE len(list_filter(ex{r - 1}.ex, e -> abs(p.i - e) <= {ez})) = 0
       GROUP BY 1
     ), seed{r} AS MATERIALIZED (
@@ -294,7 +341,7 @@ def motif_core_ctes(
     return "".join(parts)
 
 
-def motif_sql(k: int = 2, max_nbrs: int = MAX_NBRS) -> str:
+def motif_sql(k: int = 2, max_nbrs: int = MAX_NBRS, corrected: bool = False) -> str:
     outs = [
         f"""SELECT se.user_id AS conv_key, CAST({r} AS BIGINT) AS motif_rank,
        CAST(se.i0 AS BIGINT) AS motif_pos, CAST(se.j0 AS BIGINT) AS pair_pos,
@@ -302,9 +349,11 @@ def motif_sql(k: int = 2, max_nbrs: int = MAX_NBRS) -> str:
 FROM seed{r} se JOIN nb{r} ON nb{r}.user_id = se.user_id"""
         for r in range(1, k + 1)
     ]
+    cav = _cav_ctes() if corrected else ""
+    prof_tbl = "cprof" if corrected else "prof"
     return (
-        "WITH" + _series_cte() + _mp_cte() + ","
-        + motif_core_ctes(k, max_nbrs)
+        "WITH" + _series_cte() + _mp_cte() + cav + ","
+        + motif_core_ctes(k, max_nbrs, prof_tbl=prof_tbl)
         + "\n" + "\nUNION ALL\n".join(outs)
     )
 
@@ -377,7 +426,7 @@ def motif_label_stats_sql(max_nbrs: int = MAX_NBRS, m: int = M) -> str:
 # distances; k=2: their mean — Yeh et al. sorted-cummean construction)
 # ---------------------------------------------------------------------------
 
-def multidim_sql(m: int = M, ez: int = EZ) -> str:
+def _multidim_prefix(m: int = M, ez: int = EZ) -> str:
     return f"""
     WITH v2 AS (
       SELECT user_id,
@@ -416,7 +465,11 @@ def multidim_sql(m: int = M, ez: int = EZ) -> str:
              sqrt(greatest(0, 2 * {m} * (1 - (qt2 - {m} * mu2i * mu2j)
                                              / ({m} * s2i * s2j)))) AS d2
       FROM dts d JOIN prs USING (user_id, i, j)
-    )
+    )"""
+
+
+def multidim_sql(m: int = M, ez: int = EZ) -> str:
+    return _multidim_prefix(m, ez) + f"""
     SELECT user_id AS conv_key, CAST(1 AS BIGINT) AS k, CAST(i AS BIGINT) AS pos,
            round(min(least(d1, d2)), 4) AS mp
     FROM dd GROUP BY user_id, i
@@ -424,6 +477,41 @@ def multidim_sql(m: int = M, ez: int = EZ) -> str:
     SELECT user_id, CAST(2 AS BIGINT), CAST(i AS BIGINT),
            round(min((d1 + d2) / 2), 4)
     FROM dd GROUP BY user_id, i
+    """
+
+
+def subspace_sql(m: int = M, ez: int = EZ) -> str:
+    """W12 subspace oracle: best 2-dim motif pair (argmin of the k=2
+    profile on round-4 values, canonical smaller-index pair), dims ranked
+    by per-dim z-norm distance at that pair — subspace_kernel's
+    ||znorm(a)-znorm(b)|| equals the z-dist d_k exactly."""
+    return _multidim_prefix(m, ez) + """
+    , p2 AS MATERIALIZED (
+      SELECT user_id, i, min({'d': (d1 + d2) / 2, 'j': j}) AS s
+      FROM dd GROUP BY 1, 2
+    ), seed AS MATERIALIZED (
+      SELECT user_id,
+             min({'d': round(struct_extract(s, 'd'), 4), 'i': i}) AS mm
+      FROM p2 GROUP BY 1
+    ), pick AS (
+      SELECT p2.user_id,
+             least(p2.i, struct_extract(p2.s, 'j')) AS i0,
+             greatest(p2.i, struct_extract(p2.s, 'j')) AS j0
+      FROM p2 JOIN seed
+        ON p2.user_id = seed.user_id AND p2.i = struct_extract(seed.mm, 'i')
+    ), dims AS (
+      SELECT pk.user_id, pk.i0, pk.j0, dd.d1, dd.d2
+      FROM pick pk JOIN dd
+        ON dd.user_id = pk.user_id AND dd.i = pk.i0 AND dd.j = pk.j0
+    )
+    SELECT user_id AS conv_key, CAST(i0 AS BIGINT) AS motif_pos,
+           CAST(j0 AS BIGINT) AS nn_pos, CAST(1 AS BIGINT) AS dim_rank,
+           CASE WHEN d1 <= d2 THEN 'f1' ELSE 'f2' END AS dim
+    FROM dims
+    UNION ALL
+    SELECT user_id, CAST(i0 AS BIGINT), CAST(j0 AS BIGINT), CAST(2 AS BIGINT),
+           CASE WHEN d1 <= d2 THEN 'f2' ELSE 'f1' END
+    FROM dims
     """
 
 
@@ -456,6 +544,58 @@ CHANGEPOINT_SQL = """
     ), p AS (
       SELECT j.user_id, j.split, j.y,
              (fit.my - fit.slope * fit.mx) + fit.slope * j.xd AS pred
+      FROM j JOIN fit USING (user_id) WHERE j.split != 'train'
+    ), ps AS (
+      SELECT user_id, split, avg(y - pred) AS me,
+             avg(abs(y - pred)) / avg(y) AS mape
+      FROM p GROUP BY 1, 2
+    ), val AS (
+      SELECT user_id, me AS val_me, mape AS val_mape FROM ps WHERE split = 'val'
+    ), tst AS (
+      SELECT user_id, me AS test_me FROM ps WHERE split = 'test'
+    )
+    SELECT CAST(v.user_id AS VARCHAR) AS event_id,
+           round(val_me, 6) AS val_me, round(val_mape, 6) AS val_mape,
+           round(test_me, 6) AS test_me,
+           round((test_me - val_me) / nullif(abs(val_me), 0), 6) AS ratio
+    FROM val v JOIN tst t ON v.user_id = t.user_id
+"""
+
+
+# changepoint_event_scores_poly2 — per-event closed-form QUADRATIC fit on
+# days-relative-to-event (Cramer's rule over normal-equation moments — the
+# exact arithmetic the Spark side runs, so fp parity holds at round-6)
+CHANGEPOINT_POLY2_SQL = """
+    WITH e AS (
+      SELECT user_id, min(ts) AS event_ts
+      FROM events WHERE event_type = 'error' AND ts > timestamp '2024-01-10'
+      GROUP BY 1 HAVING min(ts) > timestamp '2024-01-10'
+    ), j AS (
+      SELECT x.user_id, x.ts, x.value AS y,
+             (epoch(x.ts) - epoch(e.event_ts)) / 86400.0 AS xe,
+             CASE WHEN x.ts < e.event_ts - INTERVAL 2 DAY THEN 'train'
+                  WHEN x.ts < e.event_ts THEN 'val' ELSE 'test' END AS split
+      FROM events x JOIN e ON x.user_id = e.user_id
+        AND x.ts >= e.event_ts - INTERVAL 7 DAY - INTERVAL 2 DAY
+        AND x.ts < e.event_ts + INTERVAL 2 DAY
+    ), mo AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS s0,
+             sum(xe) AS s1, sum(xe * xe) AS s2,
+             sum(xe * xe * xe) AS s3, sum(xe * xe * xe * xe) AS s4,
+             sum(y) AS t0, sum(xe * y) AS t1, sum(xe * xe * y) AS t2
+      FROM j WHERE split = 'train' GROUP BY 1
+    ), fit AS (
+      SELECT user_id,
+        (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2))
+        / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS c0,
+        (s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2))
+        / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS c1,
+        (s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2))
+        / (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS c2
+      FROM mo
+    ), p AS (
+      SELECT j.user_id, j.split, j.y,
+             fit.c0 + fit.c1 * j.xe + fit.c2 * j.xe * j.xe AS pred
       FROM j JOIN fit USING (user_id) WHERE j.split != 'train'
     ), ps AS (
       SELECT user_id, split, avg(y - pred) AS me,

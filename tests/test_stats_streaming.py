@@ -118,3 +118,47 @@ def test_streaming_rollup_matches_batch(spark, transcripts, tmp_path):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_fit_polynomial_models_matches_numpy(spark):
+    """Grouped normal-equation fit == np.polyfit (α=0) and == the manual
+    ridge solution (α>0), per group."""
+    from more_pattern_extraction_spark.operators.deviation import fit_polynomial_models
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for g in ("a", "b"):
+        x = rng.uniform(-3, 3, 120)
+        y = 2.0 + 0.5 * x - 0.8 * x**2 + 0.1 * x**3 + rng.normal(0, 0.3, 120)
+        frames.append(pd.DataFrame({"event_id": g, "x": x, "y": y}))
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    got = {r.event_id: np.array(r.coefs)
+           for r in fit_polynomial_models(df, "y", "x", degree=3).collect()}
+    for g in ("a", "b"):
+        sub = pdf[pdf.event_id == g]
+        exp = np.polyfit(sub.x, sub.y, 3)[::-1]  # increasing powers
+        np.testing.assert_allclose(got[g], exp, rtol=1e-8)
+
+    alpha = 2.5
+    got_r = {r.event_id: np.array(r.coefs)
+             for r in fit_polynomial_models(df, "y", "x", degree=2, alpha=alpha).collect()}
+    for g in ("a", "b"):
+        sub = pdf[pdf.event_id == g]
+        V = np.vander(sub.x, 3, increasing=True)
+        exp = np.linalg.solve(V.T @ V + alpha * np.eye(3), V.T @ sub.y)
+        np.testing.assert_allclose(got_r[g], exp, rtol=1e-8)
+
+
+def test_poly2_relational_matches_numpy(spark):
+    """The pure-Catalyst Cramer quadratic equals np.polyfit."""
+    from more_pattern_extraction_spark.operators.deviation import _poly2_fit_relational
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-5, 5, 200)
+    y = 1.0 - 2.0 * x + 0.3 * x**2 + rng.normal(0, 0.5, 200)
+    df = spark.createDataFrame(pd.DataFrame({"event_id": "e", "x": x, "y": y}))
+    row = _poly2_fit_relational(df, "y", "x", "event_id").collect()[0]
+    exp = np.polyfit(x, y, 2)[::-1]
+    np.testing.assert_allclose([row.c0, row.c1, row.c2], exp, rtol=1e-7)
