@@ -509,6 +509,33 @@ def subspace_kernel(
     return np.array(order[: k + 1], dtype=np.int64)
 
 
+def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Dynamic-time-warping distance with manhattan local cost — the
+    accumulated DP cost D[-1,-1] (reference plot_segmentation,
+    plots.py:167-240, uses dtw(regimes, label_ids, dist=|x−y|) to rank the
+    FLUSS L-sweep; the library's path-length normalization is a global
+    monotone rescale that cannot change the per-conversation ranking)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return float("nan")
+    D = np.abs(a[:, None] - b[None, :])
+    for i in range(la):
+        for j in range(lb):
+            if i == 0 and j == 0:
+                continue
+            opts = []
+            if i > 0:
+                opts.append(D[i - 1, j])
+            if j > 0:
+                opts.append(D[i, j - 1])
+            if i > 0 and j > 0:
+                opts.append(D[i - 1, j - 1])
+            D[i, j] += min(opts)
+    return float(D[-1, -1])
+
+
 def top_k_discords_kernel(mp: np.ndarray, ez: int, k: int) -> list[tuple[int, float]]:
     """Top-k discords = highest finite MP values with exclusion zones.
 

@@ -221,6 +221,79 @@ def motif_stats(
     )
 
 
+def nn_stats(
+    neighbors: DataFrame,
+    mask: DataFrame,
+    m: int,
+    labels: tuple[str, str] = ("anomalous", "normal"),
+    maj_other: str = "anomalous",
+) -> DataFrame:
+    """A8 calculate_nn_stats (patterns.py:245-310): classify a query
+    pattern's nearest neighbors IN ANOTHER SERIES against that series'
+    mask — per-conversation class counts, normalized cost, majority label,
+    and whether it matches ``maj_other`` (the pattern's majority in the
+    series it was extracted from).  All relational.
+
+    neighbors: (conv_id, neighbor_pos) from find_neighbors.
+    mask: (conv_id, pos, flag boolean)."""
+    true_label, false_label = labels
+    occ = neighbors.select(
+        "conv_id", F.col("neighbor_pos").alias("start")
+    ).withColumn("end", F.col("start") + F.lit(m - 1))
+    cls_len = mask.groupBy("conv_id").agg(
+        F.sum(F.col("flag").cast("long")).alias("cls1_len"),
+        F.sum((~F.col("flag")).cast("long")).alias("cls2_len"),
+    )
+    ms = mask.alias("ms")
+    flags = (
+        occ.alias("o")
+        .join(
+            ms.select(F.col("conv_id").alias("cs"), F.col("pos").alias("ps"), F.col("flag").alias("fs")),
+            (F.col("o.conv_id") == F.col("cs")) & (F.col("o.start") == F.col("ps")),
+            "left",
+        )
+        .join(
+            ms.select(F.col("conv_id").alias("ce"), F.col("pos").alias("pe"), F.col("flag").alias("fe")),
+            (F.col("o.conv_id") == F.col("ce")) & (F.col("o.end") == F.col("pe")),
+            "left",
+        )
+        .select(
+            "o.conv_id",
+            F.when(F.col("fs") == F.col("fe"),
+                   F.when(F.col("fs"), F.lit(true_label)).otherwise(F.lit(false_label)))
+            .otherwise(F.lit("both"))
+            .alias("loc"),
+        )
+    )
+    counts = flags.groupBy("conv_id").agg(
+        F.count(F.when(F.col("loc") == true_label, 1)).alias("cls1_count"),
+        F.count(F.when(F.col("loc") == false_label, 1)).alias("cls2_count"),
+        F.count(F.when(F.col("loc") == "both", 1)).alias("spanning_both"),
+    )
+    out = counts.join(F.broadcast(cls_len), "conv_id")
+    degenerate = (
+        (F.col("cls1_count") + F.col("cls2_count") <= 2)
+        | (F.col("cls1_len") == 0)
+        | (F.col("cls2_len") == 0)
+    )
+    f_ratio = F.col("cls1_len") / F.col("cls2_len")
+    norm1 = F.col("cls1_count") / f_ratio
+    norm2 = F.col("cls2_count").cast("double")
+    cost = F.when(degenerate, F.lit(1.0)).otherwise(
+        1 - F.abs(norm1 - norm2) / (norm1 + norm2)
+    )
+    maj = (
+        F.when(degenerate | (norm1 == norm2), F.lit("None"))
+        .when(norm1 > norm2, F.lit(true_label))
+        .otherwise(F.lit(false_label))
+    )
+    return out.select(
+        "conv_id", "cls1_count", "cls2_count", "spanning_both",
+        F.round(cost, 9).alias("cost"), maj.alias("majority"),
+        (maj == F.lit(maj_other)).alias("matching_maj"),
+    )
+
+
 def interval_mask(
     grid: DataFrame,
     intervals: DataFrame,

@@ -55,6 +55,52 @@ def fluss_segments(
     return exploded.groupBy("conv_id", "L").applyInPandas(f, FLUSS_SCHEMA)
 
 
+def rank_L_sweep(
+    fluss_out: DataFrame,
+    labels: DataFrame,
+) -> DataFrame:
+    """Score the FLUSS L-sweep against labeled positions (reference
+    plot_segmentation, plots.py:167-240): per (conv, L), DTW distance
+    (manhattan cost) between the detected regime positions and the label
+    positions; per conv, min-max-normalized distance across the sweep and
+    a best-first rank — the reference's criterion for choosing L.
+
+    fluss_out: (conv_id, L, regime_pos, ...) from fluss_segments.
+    labels: (conv_id, label_pos).  Everything is relational except the
+    tiny per-(conv, L) DTW itself (a vectorized pandas UDF over two
+    array columns)."""
+    import pandas as pd  # noqa: F401 (pandas_udf)
+
+    from more_pattern_extraction_spark.functions.kernels import dtw_distance
+
+    regimes = fluss_out.groupBy("conv_id", "L").agg(
+        F.sort_array(F.collect_list(F.col("regime_pos").cast("double"))).alias("regs")
+    )
+    labs = labels.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(F.col("label_pos").cast("double"))).alias("labs")
+    )
+
+    @F.pandas_udf("double")
+    def dtw_udf(regs: pd.Series, labs_: pd.Series) -> pd.Series:
+        return pd.Series(
+            [dtw_distance(np.asarray(r), np.asarray(b)) for r, b in zip(regs, labs_)]
+        )
+
+    scored = regimes.join(labs, "conv_id").withColumn(
+        "dtw_dist", dtw_udf("regs", "labs")
+    )
+    w = Window.partitionBy("conv_id")
+    lo, hi = F.min("dtw_dist").over(w), F.max("dtw_dist").over(w)
+    return (
+        scored.withColumn("norm_dist", F.try_divide(F.col("dtw_dist") - lo, hi - lo))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("conv_id").orderBy("dtw_dist", "L")),
+        )
+        .select("conv_id", "L", "dtw_dist", "norm_dist", "rank")
+    )
+
+
 def rolling_slope(
     df: DataFrame,
     value_col: str,

@@ -985,6 +985,75 @@ def matrix_profile_multidim_q(spark, sf_dir):
     )
 
 
+@register("fluss_L_ranking")  # oracle: plans/oracles.fluss_ranking_sql
+def fluss_L_ranking(spark, sf_dir):
+    """L-sweep DTW ranking (plot_segmentation, plots.py:167-240): the
+    reference's criterion for choosing the FLUSS subsequence length L —
+    DTW distance between detected regimes and labeled positions, min-max
+    normalized per conversation, best L first."""
+    from pyspark.sql import Window as W
+
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+    from more_pattern_extraction_spark.operators import segmentation as SG
+
+    series = _event_series(spark, sf_dir)
+    mp = MP.matrix_profile(series, _MP_M)
+    fl = SG.fluss_segments(
+        mp.select("conv_id", "pos", "pi"), L_values=[16, 24, 32], n_regimes=3,
+        excl_factor=1,
+    )
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    posd = ev.withColumn("pos", F.row_number().over(w) - 1)
+    errs = posd.filter(F.col("event_type") == "error").withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= 2)
+    enough = errs.groupBy("user_id").count().filter("count >= 2").select("user_id")
+    labels = errs.join(enough, "user_id").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("pos").alias("label_pos"),
+    )
+    out = SG.rank_L_sweep(fl, labels)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        F.col("L").cast("bigint").alias("L"),
+        F.round("dtw_dist", 6).alias("dtw_dist"),
+        F.round("norm_dist", 6).alias("norm_dist"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@register("nn_label_stats")  # oracle: plans/oracles.nn_stats_sql
+def nn_label_stats(spark, sf_dir):
+    """A8 calculate_nn_stats (patterns.py:245-310): the fixed query
+    pattern's neighbors in each conversation, classified against the
+    error-interval mask, with the matching-majority flag."""
+    import numpy as np
+
+    from more_pattern_extraction_spark.operators import matrix_profile as MPo
+    from more_pattern_extraction_spark.operators import motifs as MO
+
+    series = _event_series(spark, sf_dir)
+    q = np.sin(np.arange(_MP_M) * 0.4) * 100 + 150
+    nbrs = MO.find_neighbors(
+        series, q, min_dist=float("inf"), exclusion_zone=_MP_EZ, max_neighbors=3
+    )
+    ev = _events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    grid = MPo.with_positions(series, "bucket_start")
+    mask = MO.interval_mask(grid, intervals)
+    out = MO.nn_stats(nbrs, mask, m=_MP_M, maj_other="anomalous")
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "cls1_count", "cls2_count", "spanning_both",
+        F.round("cost", 6).alias("cost"), "majority", "matching_maj",
+    )
+
+
 @register("corrected_matrix_profile")  # oracle: plans/oracles.corrected_mp_sql
 def corrected_matrix_profile_q(spark, sf_dir):
     """W3 annotation-vector-corrected MP (compute_mp_av/apply_av,
@@ -1726,6 +1795,8 @@ ORACLES["matrix_profile_distributed"] = ORACLES["matrix_profile"]
 ORACLES["discord_discovery"] = _OR.discord_sql(k=2)
 ORACLES["neighbor_search"] = _OR.neighbor_search_sql(max_neighbors=3)
 ORACLES["fluss_regimes"] = _OR.fluss_sql(L=_MP_M, n_regimes=3, excl_factor=1)
+ORACLES["fluss_L_ranking"] = _OR.fluss_ranking_sql((16, 24, 32), n_regimes=3, excl_factor=1)
+ORACLES["nn_label_stats"] = _OR.nn_stats_sql(max_neighbors=3, ez=_MP_EZ, m=_MP_M)
 ORACLES["motif_discovery"] = _OR.motif_sql(k=2, max_nbrs=10)
 ORACLES["motif_discovery_corrected"] = _OR.motif_sql(k=2, max_nbrs=10, corrected=True)
 ORACLES["corrected_matrix_profile"] = _OR.corrected_mp_sql()

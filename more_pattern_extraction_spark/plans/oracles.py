@@ -193,6 +193,162 @@ def fluss_sql(L: int = M, n_regimes: int = 3, excl_factor: int = 1) -> str:
     )
 
 
+def fluss_ranking_sql(
+    L_values: tuple[int, ...] = (16, 24, 32), n_regimes: int = 3, excl_factor: int = 1
+) -> str:
+    """L-sweep DTW ranking oracle (plot_segmentation, plots.py:167-240).
+
+    With exactly 2 labels and ≤ 2 regimes (n_regimes=3), the manhattan DTW
+    accumulated cost collapses to a closed form: for |a|=2 the min over
+    {D11, D11+c12, D11+c21} is D11 itself (costs ≥ 0), so
+    d = |a1−b1| + |a2−b2|; for |a|=1, d = |a1−b1| + |a1−b2|.  Positions
+    are integers, so d is fp-exact on both engines."""
+    ll = ", ".join(str(int(x)) for x in L_values)
+    steps = []
+    for r in range(1, n_regimes):
+        excl = " AND ".join(
+            f"abs(c.p - struct_extract(rr{s}.s, 'p')) > {excl_factor} * c.L"
+            for s in range(1, r)
+        )
+        joins = "".join(
+            f" JOIN rr{s} ON rr{s}.user_id = c.user_id AND rr{s}.L = c.L"
+            for s in range(1, r)
+        )
+        where = f"AND {excl}" if excl else ""
+        steps.append(
+            f"rr{r} AS MATERIALIZED (SELECT c.user_id, c.L, min({{'c': c.cac, 'p': c.p}}) AS s\n"
+            f"         FROM cacL c{joins} WHERE c.cac < 1.0 {where} GROUP BY 1, 2)"
+        )
+    regall = "\nUNION ALL\n".join(
+        f"SELECT user_id, L, struct_extract(s, 'p') AS p FROM rr{r}"
+        for r in range(1, n_regimes)
+    )
+    return (
+        "WITH" + _series_cte() + _mp_cte() + f""",
+    cnt AS (SELECT user_id, count(*) AS l FROM subs GROUP BY 1),
+    arcs AS (SELECT user_id, least(i, j) AS lo, greatest(i, j) AS hi FROM pidx),
+    ac AS (
+      SELECT s.user_id, s.i AS p, count(a.lo) AS ac
+      FROM subs s LEFT JOIN arcs a
+        ON a.user_id = s.user_id AND a.lo <= s.i AND a.hi > s.i
+      GROUP BY 1, 2
+    ), cacL AS MATERIALIZED (
+      SELECT ac.user_id, Ls.L, ac.p,
+             CASE WHEN ac.p < {excl_factor} * Ls.L
+                    OR ac.p >= c.l - {excl_factor} * Ls.L THEN 1.0
+                  WHEN 2.0 * ac.p * (c.l - ac.p) / c.l > 0
+                  THEN least(ac.ac / (2.0 * ac.p * (c.l - ac.p) / c.l), 1.0)
+                  ELSE 1.0 END AS cac
+      FROM ac JOIN cnt c USING (user_id)
+      CROSS JOIN (SELECT unnest([{ll}]) AS L) Ls
+    ),
+"""
+        + ",\n".join(steps)
+        + f""",
+    regall AS ({regall}),
+    regs AS (
+      SELECT user_id, L, list_sort(list(CAST(p AS DOUBLE))) AS regs
+      FROM regall GROUP BY 1, 2
+    ), posd AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             row_number() OVER (PARTITION BY user_id, (event_type = 'error')
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ), labs AS (
+      SELECT user_id,
+             CAST(min(CASE WHEN rn_type = 1 THEN pos END) AS DOUBLE) AS b1,
+             CAST(min(CASE WHEN rn_type = 2 THEN pos END) AS DOUBLE) AS b2
+      FROM posd WHERE event_type = 'error'
+      GROUP BY 1 HAVING count(*) >= 2
+    ), dt AS (
+      SELECT r.user_id, r.L,
+             CASE WHEN len(r.regs) = 1
+                  THEN abs(r.regs[1] - l.b1) + abs(r.regs[1] - l.b2)
+                  ELSE abs(r.regs[1] - l.b1) + abs(r.regs[2] - l.b2)
+             END AS d
+      FROM regs r JOIN labs l USING (user_id)
+    ), nrm AS (
+      SELECT user_id, L, d,
+             (d - min(d) OVER (PARTITION BY user_id))
+             / nullif(max(d) OVER (PARTITION BY user_id)
+                      - min(d) OVER (PARTITION BY user_id), 0) AS norm_dist,
+             row_number() OVER (PARTITION BY user_id ORDER BY d, L) AS rank
+      FROM dt
+    )
+    SELECT user_id AS conv_key, CAST(L AS BIGINT) AS L,
+           round(d, 6) AS dtw_dist, round(norm_dist, 6) AS norm_dist, rank
+    FROM nrm
+    """
+    )
+
+
+def nn_stats_sql(
+    max_neighbors: int = 3, ez: int = EZ, m: int = M, maj_other: str = "anomalous"
+) -> str:
+    """A8 calculate_nn_stats oracle: the neighbor_search picks classified
+    against the error-interval mask (same machinery as motif_label_stats
+    but keyed per conversation, plus the matching_maj flag)."""
+    base = neighbor_search_sql(max_neighbors, ez, m)
+    # keep the CTE chain, replace the final UNION of pick-outputs with a
+    # stats computation over the union of picks
+    head, _sep, _tail = base.partition("SELECT user_id AS conv_key")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT user_id, struct_extract(s, 'i') AS start FROM r{r}"
+        for r in range(1, max_neighbors + 1)
+    )
+    return head.rstrip() + f""",
+    occ AS ({picks}),
+    err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    flagged AS (
+      SELECT DISTINCT g.user_id, g.pos
+      FROM v g JOIN err e ON e.user_id = g.user_id
+        AND g.ts >= e.ts - INTERVAL 10 MINUTE
+        AND g.ts <= e.ts + INTERVAL 10 MINUTE
+    ), mask AS (
+      SELECT g.user_id, g.pos, (f.pos IS NOT NULL) AS flag
+      FROM v g LEFT JOIN flagged f ON f.user_id = g.user_id AND f.pos = g.pos
+    ), cls_len AS (
+      SELECT user_id,
+             sum(CASE WHEN flag THEN 1 ELSE 0 END) AS cls1_len,
+             sum(CASE WHEN flag THEN 0 ELSE 1 END) AS cls2_len
+      FROM mask GROUP BY 1
+    ), loc AS (
+      SELECT o.user_id,
+             CASE WHEN ms.flag = me.flag
+                  THEN (CASE WHEN ms.flag THEN 'anomalous' ELSE 'normal' END)
+                  ELSE 'both' END AS loc
+      FROM occ o
+      LEFT JOIN mask ms ON ms.user_id = o.user_id AND ms.pos = o.start
+      LEFT JOIN mask me ON me.user_id = o.user_id AND me.pos = o.start + {m - 1}
+    ), counts AS (
+      SELECT user_id,
+             CAST(count(CASE WHEN loc = 'anomalous' THEN 1 END) AS BIGINT) AS cls1_count,
+             CAST(count(CASE WHEN loc = 'normal' THEN 1 END) AS BIGINT) AS cls2_count,
+             CAST(count(CASE WHEN loc = 'both' THEN 1 END) AS BIGINT) AS spanning_both
+      FROM loc GROUP BY 1
+    ), scored AS (
+      SELECT c.user_id, c.cls1_count, c.cls2_count, c.spanning_both,
+             l.cls1_len, l.cls2_len,
+             c.cls1_count / (l.cls1_len / CAST(l.cls2_len AS DOUBLE)) AS norm1,
+             CAST(c.cls2_count AS DOUBLE) AS norm2,
+             (c.cls1_count + c.cls2_count <= 2
+              OR l.cls1_len = 0 OR l.cls2_len = 0) AS degen
+      FROM counts c JOIN cls_len l USING (user_id)
+    )
+    SELECT user_id AS conv_key, cls1_count, cls2_count, spanning_both,
+           round(CASE WHEN degen THEN 1.0
+                      ELSE round(1 - abs(norm1 - norm2) / (norm1 + norm2), 9)
+                 END, 6) AS cost,
+           CASE WHEN degen OR norm1 = norm2 THEN 'None'
+                WHEN norm1 > norm2 THEN 'anomalous' ELSE 'normal' END AS majority,
+           (CASE WHEN degen OR norm1 = norm2 THEN 'None'
+                 WHEN norm1 > norm2 THEN 'anomalous' ELSE 'normal' END)
+           = '{maj_other}' AS matching_maj
+    FROM scored
+    """
+
+
 def _cav_ctes(m: int = M) -> str:
     """Complexity annotation vector + corrected profile (W3,
     patterns.py:68-93): comp = sqrt(window sum of diff^2), av = per-conv

@@ -84,16 +84,38 @@ def main() -> None:
         if best is None or rec["wall_s"] < best["wall_s"]:
             best = rec
 
-    spark.stop()
-    # whole-tree CPU accounting: the JVM (and the pyspark daemons it
-    # reaps) is this process's direct child, so after stop() its usage
-    # rolls into RUSAGE_CHILDREN — effective cores the "cluster" used
-    import resource
+    # whole-tree CPU accounting BEFORE stop(): getrusage(RUSAGE_CHILDREN)
+    # only sees reaped children, which misses the still-running JVM and
+    # python workers entirely — walk /proc for the live descendant tree
+    def tree_cpu_seconds() -> float:
+        import os
 
-    ch = resource.getrusage(resource.RUSAGE_CHILDREN)
-    me = resource.getrusage(resource.RUSAGE_SELF)
-    tree_cpu = ch.ru_utime + ch.ru_stime + me.ru_utime + me.ru_stime
+        clk = os.sysconf("SC_CLK_TCK")
+        procs: dict[int, tuple[int, int]] = {}
+        for pid in filter(str.isdigit, os.listdir("/proc")):
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                procs[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            except (OSError, IndexError, ValueError):
+                pass
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        total, stack = 0, [os.getpid()]
+        while stack:
+            p = stack.pop()
+            if p in procs:
+                total += procs[p][1]
+            stack.extend(children.get(p, []))
+        import resource
+
+        ch = resource.getrusage(resource.RUSAGE_CHILDREN)  # already-reaped workers
+        return total / clk + ch.ru_utime + ch.ru_stime
+
+    tree_cpu = tree_cpu_seconds()
     job_wall = time.time() - t_job0
+    spark.stop()
     best["tree_cpu_s"] = round(tree_cpu, 1)
     best["job_wall_s"] = round(job_wall, 1)
     best["effective_cores"] = round(tree_cpu / job_wall, 2)

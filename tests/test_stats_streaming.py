@@ -162,3 +162,78 @@ def test_poly2_relational_matches_numpy(spark):
     row = _poly2_fit_relational(df, "y", "x", "event_id").collect()[0]
     exp = np.polyfit(x, y, 2)[::-1]
     np.testing.assert_allclose([row.c0, row.c1, row.c2], exp, rtol=1e-7)
+
+
+def _dtw_ref(a, b):
+    """Plain recursive-definition DTW for cross-checking the kernel."""
+    import functools
+
+    @functools.lru_cache(None)
+    def d(i, j):
+        c = abs(a[i] - b[j])
+        if i == 0 and j == 0:
+            return c
+        opts = []
+        if i > 0:
+            opts.append(d(i - 1, j))
+        if j > 0:
+            opts.append(d(i, j - 1))
+        if i > 0 and j > 0:
+            opts.append(d(i - 1, j - 1))
+        return c + min(opts)
+
+    return d(len(a) - 1, len(b) - 1)
+
+
+def test_dtw_distance_matches_reference_dp():
+    from more_pattern_extraction_spark.functions.kernels import dtw_distance
+
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        a = tuple(rng.integers(0, 200, rng.integers(1, 6)).tolist())
+        b = tuple(rng.integers(0, 200, rng.integers(1, 6)).tolist())
+        assert dtw_distance(np.array(a), np.array(b)) == _dtw_ref(a, b)
+    # the 2x2 closed form used by the SQL oracle: d = |a1-b1| + |a2-b2|
+    for _ in range(50):
+        a = rng.integers(0, 500, 2); a.sort()
+        b = rng.integers(0, 500, 2); b.sort()
+        assert dtw_distance(a, b) == abs(a[0] - b[0]) + abs(a[1] - b[1])
+
+
+def test_rank_L_sweep_prefers_matching_L(spark):
+    """Regimes exactly at the label positions must rank first."""
+    from more_pattern_extraction_spark.operators.segmentation import rank_L_sweep
+
+    fl = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 4,
+                "L": [10, 10, 20, 20],
+                "regime_pos": [50, 150, 70, 130],
+                "cac": 0.5,
+            }
+        )
+    )
+    labels = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c", "c"], "label_pos": [50, 150]})
+    )
+    out = rank_L_sweep(fl, labels).toPandas().sort_values("rank")
+    assert out.iloc[0].L == 10 and out.iloc[0].dtw_dist == 0.0
+    assert out.iloc[0].norm_dist == 0.0 and out.iloc[1].norm_dist == 1.0
+
+
+def test_nn_stats_counts_and_majority(spark):
+    from more_pattern_extraction_spark.operators.motifs import nn_stats
+
+    # mask: positions 0..9 flagged, 10..29 not
+    mask = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "c", "pos": range(30), "flag": [True] * 10 + [False] * 20})
+    )
+    # m=3: neighbor at 2 → [2,4] inside true; 15 → false; 8 → [8,10] spans
+    nbrs = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "c", "neighbor_pos": [2, 15, 8, 20]})
+    )
+    row = nn_stats(nbrs, mask, m=3, maj_other="normal").collect()[0]
+    assert (row.cls1_count, row.cls2_count, row.spanning_both) == (1, 2, 1)
+    # norm1 = 1/(10/20) = 2, norm2 = 2 → tie → 'None', no match
+    assert row.majority == "None" and row.matching_maj is False
