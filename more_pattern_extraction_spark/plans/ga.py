@@ -78,7 +78,11 @@ def evaluate_generation(
     label mask → per-individual confusion → F1 (collected: |pop| rows)."""
     spark = grid.sparkSession
     pop_df = F.broadcast(spark.createDataFrame(population))
-    fanned = grid.crossJoin(pop_df)
+    # project BEFORE the fan-out: the crossJoin replicates every grid row
+    # |pop| times through the shuffle, so it must carry only the three
+    # columns the kernel reads plus the gene columns (VERDICT r01 #6)
+    slim = grid.select("conv_id", order_col, value_col)
+    fanned = slim.crossJoin(pop_df)
     cov = fanned.groupBy("conv_id", "indiv").applyInPandas(
         _coverage_udf(value_col, order_col),
         f"conv_id string, indiv long, {order_col} timestamp, pred boolean",

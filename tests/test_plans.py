@@ -1,0 +1,111 @@
+"""Physical-plan assertions (SURVEY §4): the 100 TB contract is enforced
+at the plan level — predicate pushdown reaching the parquet scan, column
+pruning, broadcast joins for small sides, the chunk-encode partitioning,
+and NO Python eval nodes in the relational hot paths."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_rollup_filter_pushdown_and_pruning(spark, events):
+    """Filters reach the scan (PushedFilters) and unused columns (props,
+    event_id) are pruned from ReadSchema."""
+    r1m = (
+        events.filter(F.col("ts") < "2024-01-02")
+        .groupBy(
+            F.col("user_id").alias("conv_key"),
+            F.date_trunc("minute", "ts").alias("bucket_start"),
+        )
+        .agg(F.avg("value").alias("latency_avg"))
+    )
+    p = plan_str(r1m)
+    assert "PushedFilters" in p and "LessThan(ts" in p
+    schema_line = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in schema_line and "event_id" not in schema_line
+    assert "EvalPython" not in p  # pure JVM path
+
+
+def test_rollup_partial_aggregation(spark, events):
+    """The rollup aggregates map-side before the shuffle (partial
+    HashAggregate under the Exchange)."""
+    r = events.groupBy("user_id").agg(F.sum("value"))
+    p = plan_str(r, mode="simple")
+    # partial agg appears below the exchange: two HashAggregates
+    assert p.count("HashAggregate") >= 2 and "Exchange hashpartitioning" in p
+
+
+def test_interval_mask_broadcasts_small_side(spark, events):
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+    from more_pattern_extraction_spark.operators import motifs as MO
+
+    series = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_start"),
+        F.col("value").alias("latency_avg_filled"),
+    )
+    intervals = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    mask = MO.interval_mask(MP.with_positions(series, "bucket_start"), intervals)
+    p = plan_str(mask, mode="simple")
+    assert "Broadcast" in p  # range join against the broadcast label side
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from more_pattern_extraction_spark.operators import similarity_search as SS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    p = plan_str(SS.cosine_topk(emb, q, k=3), mode="simple")
+    assert "Broadcast" in p  # corpus side never shuffles
+
+
+def test_chunk_encode_partitioning_and_sort(spark, events):
+    """encode_chunks repartitions by (conv_id, ts_bucket) and sorts within
+    partitions — the skew-safe keying is visible in the plan."""
+    from more_pattern_extraction_spark.operators import chunks as CH
+
+    r1m = events.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("minute", "ts").alias("bucket_start"),
+    ).agg(F.avg("value").alias("latency_avg"))
+    p = plan_str(CH.encode_chunks(r1m, ["latency_avg"], "1m"), mode="simple")
+    assert "hashpartitioning(conv_id" in p and "ts_bucket" in p
+    assert "Sort [conv_id" in p and "bucket_start" in p
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+
+
+def test_gapfill_is_pure_catalyst(spark, events):
+    from more_pattern_extraction_spark.operators import gapfill as G
+
+    r1m = events.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("minute", "ts").alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("tool_call_cnt"),
+        F.sum("value").alias("latency_sum"),
+        F.count("value").alias("latency_cnt"),
+        F.avg("value").alias("latency_avg"),
+    )
+    p = plan_str(G.gap_fill_rollup(r1m, "1m"), mode="simple")
+    assert "EvalPython" not in p and "InPandas" not in p

@@ -237,3 +237,71 @@ def test_nn_stats_counts_and_majority(spark):
     assert (row.cls1_count, row.cls2_count, row.spanning_both) == (1, 2, 1)
     # norm1 = 1/(10/20) = 2, norm2 = 2 → tie → 'None', no match
     assert row.majority == "None" and row.matching_maj is False
+
+
+def test_streaming_locf_state_survives_microbatches(spark, tmp_path):
+    """The LOCF carry value crosses micro-batch boundaries: batch 2 opens
+    with NULLs that must inherit batch 1's last observation."""
+    import os
+    import time as _time
+
+    from more_pattern_extraction_spark.streaming.stateful_gapfill import streaming_locf
+
+    src = tmp_path / "locf_src"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3 + ["c2"] * 2,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02",
+                 "2024-01-01 00:00", "2024-01-01 00:01"]
+            ),
+            "value": [1.0, None, 3.0, 7.0, None],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 2 + ["c2"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:03", "2024-01-01 00:04", "2024-01-01 00:02"]
+            ),
+            "value": [None, 5.0, None],
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "f2"))
+    files = sorted(str(p) for p in src.glob("*/**/*.parquet"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(src.glob("f*/*.parquet"))):
+        os.system(f"cp {f} {flat}/{i:02d}.parquet")
+        os.utime(f"{flat}/{i:02d}.parquet", (1700000000 + i * 10, 1700000000 + i * 10))
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        streaming_locf(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("locf_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from locf_stream")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 8
+    c1 = got[got.conv_id == "c1"].value_locf.tolist()
+    c2 = got[got.conv_id == "c2"].value_locf.tolist()
+    # c1: [1, locf 1, 3 | batch2: locf 3 (carried!), 5]
+    assert c1 == [1.0, 1.0, 3.0, 3.0, 5.0]
+    # c2: [7, locf 7 | batch2: locf 7 (carried!)]
+    assert c2 == [7.0, 7.0, 7.0]
