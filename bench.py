@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from more_pattern_extraction_spark.session import get_spark  # noqa: E402
@@ -82,6 +83,24 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
     bench("embedding_topk", lambda: SS.cosine_topk(emb, q, k=5).count())
+    # W3: AV-corrected matrix profile (relational annotation vector)
+    bench(
+        "corrected_matrix_profile",
+        lambda: MP.corrected_matrix_profile(series, 16).count(),
+    )
+    # W11: 2-dim mSTOMP (blocked-GEMM k-dim path)
+    series2 = series.withColumn(
+        "f2",
+        F.lag("latency_avg_filled").over(
+            Window.partitionBy("conv_id").orderBy("bucket_start")
+        ),
+    ).na.drop(subset=["f2"])
+    bench(
+        "matrix_profile_multidim",
+        lambda: MP.matrix_profile_multidim(
+            series2, 16, ["latency_avg_filled", "f2"]
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     rollup_path_s = timings["rollup_1m"] + timings["rollup_cascade"]

@@ -40,6 +40,12 @@ def main() -> None:
     if conv_limit:
         turns = turns.filter(F.col("conv_id") < f"conv_{conv_limit:05d}")
     n_turns = turns.count()  # warm scan outside the timed region
+    # warm the python-worker pool too: spawning `cores` workers (python +
+    # pyspark+numpy imports, ~2s each) is one-time setup a long-lived
+    # cluster amortizes — it must not be billed to the first UDF stage
+    spark.range(cores * 4, numPartitions=cores).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     best = None
     for it in range(n_iters):
