@@ -22,6 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: events→transcript adapter,
     1-minute tier rollup, dense-spine gap-fill (LOCF + linear interp)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")  # x/0 → NULL (DuckDB parity)
     from pyspark.sql import functions as F
 
     from more_pattern_extraction_spark.operators import gapfill as G

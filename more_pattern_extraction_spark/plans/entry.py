@@ -37,18 +37,26 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pin_session(spark: SparkSession) -> None:
+    """Runtime pins for a driver-provided session: UTC (timestamp parity
+    with the DuckDB oracle) and non-ANSI division (x/0 → NULL, matching
+    DuckDB; Spark 4's ANSI default would throw instead)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -130,6 +130,82 @@ def run_pipeline(
     return m
 
 
+def run_pattern_stage(
+    spark: SparkSession,
+    out_root: str,
+    n_buckets: int = 32,
+    m: int = 120,
+    window: str = "week",
+    k: int = 2,
+) -> dict:
+    """Pattern-extraction stage over the persisted gap-filled grid (north
+    star: the reference's motif/discord + segmentation pipeline as
+    continuous aggregates): per-(conversation, week) matrix profile →
+    top-k discords + FLUSS regimes, all written as queryable partitioned
+    tables.  Window-keying bounds every task for hot conversations; the
+    MP artifact is persisted once and both downstream extractions re-read
+    it (the reference reloads its npz the same way, io.py:39-55)."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+    from more_pattern_extraction_spark.operators import motifs as MO
+    from more_pattern_extraction_spark.operators import segmentation as SG
+
+    t0 = time.time()
+    filled = CAT.read_table(spark, out_root, "rollup_1m_filled")
+    grid = filled.select(
+        "conv_id",
+        "bucket_start",
+        F.coalesce("latency_avg_filled", "latency_avg_locf", F.lit(0.0)).alias(
+            "latency_avg_filled"
+        ),
+    )
+    mp = MP.matrix_profile(grid, m, window=window)
+    mp = mp.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("ts_day", F.col("win").cast("date"))
+    CAT.write_partitioned(mp, out_root, f"mp_{window}")
+
+    # re-read the persisted artifact; window-local extraction uses the
+    # composite (conv, window) key so tasks stay bounded
+    mp_saved = CAT.read_table(spark, out_root, f"mp_{window}")
+    keyed = mp_saved.withColumn(
+        "_ck", F.concat_ws("#", "conv_id", F.col("win").cast("string"))
+    )
+    disc = MO.top_k_discords(
+        keyed.select(F.col("_ck").alias("conv_id"), "pos", "mp"), ez=int(m / 4), k=k
+    ).select(
+        F.split("conv_id", "#")[0].alias("conv_id"),
+        F.split("conv_id", "#")[1].cast("timestamp").alias("win"),
+        "discord_rank", "pos", "distance",
+    )
+    disc = disc.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("ts_day", F.col("win").cast("date"))
+    CAT.write_partitioned(disc, out_root, "discords")
+
+    regimes = SG.fluss_segments(
+        keyed.select(F.col("_ck").alias("conv_id"), "pos", "pi"),
+        L_values=[m], n_regimes=3, excl_factor=1,
+    ).select(
+        F.split("conv_id", "#")[0].alias("conv_id"),
+        F.split("conv_id", "#")[1].cast("timestamp").alias("win"),
+        "L", "regime_pos", "cac",
+    )
+    regimes = regimes.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("ts_day", F.col("win").cast("date"))
+    CAT.write_partitioned(regimes, out_root, "regimes")
+
+    out = {
+        "pattern_wall_s": time.time() - t0,
+        "mp_rows": float(mp_saved.count()),
+        "discord_rows": float(disc.count()),
+        "regime_rows": float(regimes.count()),
+    }
+    cp = CheckpointStore(spark, out_root)
+    cp.record_metrics("pattern_stage", **out)
+    return out
+
+
 def main() -> None:
     from more_pattern_extraction_spark.session import get_spark
     from more_pattern_extraction_spark.sources.transcripts import events_as_transcripts
@@ -140,6 +216,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--patterns", action="store_true",
+                    help="also run the MP/discord/regime pattern stage")
+    ap.add_argument("--mp-window", default="week")
+    ap.add_argument("--mp-m", type=int, default=120)
     args = ap.parse_args()
 
     spark = get_spark("rollup_pipeline", cores=args.cores)
@@ -155,6 +235,11 @@ def main() -> None:
         n_buckets=args.n_buckets, latency_col=latency_col,
         resume=not args.no_resume,
     )
+    if args.patterns:
+        m.update(run_pattern_stage(
+            spark, args.output, n_buckets=args.n_buckets,
+            m=args.mp_m, window=args.mp_window,
+        ))
     print({k: round(v, 2) for k, v in m.items()})
     spark.stop()
 

@@ -38,6 +38,12 @@ def get_spark(
         # match parallelism to cores locally; on a cluster this would be
         # ~2-3x total executor cores (AQE coalesces the excess).
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # NULL-on-division-by-zero, not ANSI throw: (a) a zero denominator
+        # deep in a 100 TB job must degrade to NULL, not kill the job;
+        # (b) DuckDB (the correctness oracle) returns NULL for x/0, so the
+        # engines share division semantics bit-for-bit.  Spark 4 flipped
+        # the default to ANSI, hence the explicit pin.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

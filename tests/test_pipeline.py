@@ -85,3 +85,23 @@ def test_retention(spark, transcripts, out):
     r1m = CAT.read_table(spark, out, "rollup_1m")
     assert r1m.filter("bucket_start < timestamp '2024-01-02'").count() == 0
     assert r1m.count() > 0
+
+
+def test_pattern_stage_tables(spark, transcripts, out):
+    """The optional pattern stage persists MP / discord / regime tables
+    derived from the gap-filled grid (north star: pattern extraction as
+    continuous aggregates)."""
+    from more_pattern_extraction_spark.plans.pipeline import run_pattern_stage
+
+    run_pipeline(spark, transcripts, out, input_snapshot="s4", n_buckets=8)
+    m = run_pattern_stage(spark, out, n_buckets=8, m=16, window="day", k=2)
+    assert m["mp_rows"] > 0 and m["discord_rows"] > 0
+    mp = CAT.read_table(spark, out, "mp_day")
+    assert {"conv_id", "pos", "mp", "pi", "win"} <= set(mp.columns)
+    disc = CAT.read_table(spark, out, "discords")
+    # window-local extraction: discord positions are window-local and every
+    # (conv, win) emits at most k rows
+    per = disc.groupBy("conv_id", "win").count().agg(F.max("count")).collect()[0][0]
+    assert per <= 2
+    reg = CAT.read_table(spark, out, "regimes")
+    assert reg.count() >= 0 and {"conv_id", "win", "L", "regime_pos", "cac"} <= set(reg.columns)
