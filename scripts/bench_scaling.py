@@ -93,7 +93,7 @@ def main() -> None:
     # one input for BOTH pairs: with the full dataset the per-stage fixed
     # costs (scheduling, Arrow worker spin-up, AQE re-plan) amortize and
     # the measurement reflects the engine, not the harness
-    r2 = run(2, n_iters=2)
+    r2 = run(2, n_iters=3)
     r8 = run(8, n_iters=3)
     r8s = r8
     r32 = run(32, n_iters=3)
