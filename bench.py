@@ -42,6 +42,12 @@ def main() -> None:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = ev.count()  # warm the scan
+    # warm the python-worker pool (one-time interpreter+import setup a
+    # long-lived cluster amortizes; without this the first UDF stage in
+    # the suite is billed ~2s x cores of spawn cost)
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     turns = events_as_transcripts(spark, sf_dir)
     feats = R.turn_features(turns, latency_col="latency")
 
