@@ -62,3 +62,16 @@ def parse_ragged_csv(
     return lines.select(*metas, curve.alias("curve")).withColumn(
         "curve_len", F.size("curve")
     )
+
+
+def write_results_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Result sink (reference S8: notebooks persist scored frames with
+    ``to_csv``): header CSV, timestamps in ISO form so the file round-trips
+    through load_timeseries_csv.  ``single_file`` coalesces to one part —
+    ONLY for small result frames (it serializes the write); large results
+    keep their partitioning."""
+    out = df.coalesce(1) if single_file else df
+    ts_cols = [f.name for f in df.schema.fields if f.dataType.typeName().startswith("timestamp")]
+    for c in ts_cols:
+        out = out.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    out.write.mode("overwrite").option("header", True).csv(path)

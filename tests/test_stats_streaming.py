@@ -305,3 +305,37 @@ def test_streaming_locf_state_survives_microbatches(spark, tmp_path):
     assert c1 == [1.0, 1.0, 3.0, 3.0, 5.0]
     # c2: [7, locf 7 | batch2: locf 7 (carried!)]
     assert c2 == [7.0, 7.0, 7.0]
+
+
+def test_results_csv_roundtrip(spark, tmp_path):
+    """S8 result sink: scored frames written as CSV round-trip through the
+    S7 loader (values + timestamps preserved)."""
+    from more_pattern_extraction_spark.sources.readers import (
+        load_timeseries_csv,
+        write_results_csv,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:01.123456", "2024-01-02 12:00:00.000000",
+                 "2024-01-03 23:59:59.000001"]
+            ),
+            "score": [1.5, -2.25, 0.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "results_csv")
+    write_results_csv(df, out, single_file=True)
+    back = (
+        load_timeseries_csv(spark, [out], ts_col="ts")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert back["conv_id"].tolist() == ["a", "b", "c"]
+    assert back["score"].tolist() == [1.5, -2.25, 0.0]
+    assert (
+        back["ts"].astype("datetime64[us]") == pdf["ts"].astype("datetime64[us]")
+    ).all()
