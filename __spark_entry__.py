@@ -44,8 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_entry.QUERIES)
+    return _entry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_entry.ORACLES)
+    q = _entry.ordered_queries()
+    o = dict(_entry.ORACLES)
+    return {n: o[n] for n in q if n in o} | {n: s for n, s in o.items() if n not in q}

@@ -1818,3 +1818,82 @@ ORACLES["embedding_topk_lsh"] = _OR.embedding_topk_lsh_sql(k=3, n_planes=6)
 ORACLES["embedding_near_dups"] = _OR.embedding_near_dups_sql(threshold=0.99)
 ORACLES["multimodal_features"] = _OR.MULTIMODAL_FEATURES_SQL
 ORACLES["multimodal_frames"] = _OR.MULTIMODAL_FRAMES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Driver-window priority ordering.
+#
+# The correctness driver checks the FIRST 50 registered queries; rounds 1-2
+# registered the LLM-data-pipeline queries at positions 51-61, so they never
+# got a driver row.  ``ordered_queries()`` puts every query that has not yet
+# earned a hash-green driver row (plus this round's new operators) inside the
+# window, and rotates out queries whose operator is redundantly covered by
+# another in-window query AND that are hash-green in CORRECTNESS_r01/r02
+# (e.g. matrix_profile_distributed ≡ matrix_profile for W1; rollup_1h_cascade
+# ≡ rollup_1d_cascade for A1).  Nothing is dropped — rotated-out queries
+# still run after position 50 if the driver checks more.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = [
+    # never/stale at driver level through round 2 (VERDICT.md "What's missing" #1)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_exact_rep",
+    "embedding_topk",
+    "embedding_topk_lsh",
+    "embedding_near_dups",
+    "language_id",
+    "quality_score",
+    "bow_fingerprint",
+    "multimodal_features",
+    "multimodal_frames",
+    # new this round
+    "knee_detection",
+    "quantile_changepoints",
+    "gapfill_interp_1m",
+    # unique-coverage keepers, hash-green r02 (original thematic order)
+    "rollup_1m",
+    "rollup_1d_cascade",
+    "rollup_p95",
+    "filter_dates",
+    "filter_reltol",
+    "distinct_pairs",
+    "iqr_outlier_filter",
+    "minmax_scale",
+    "dispersion_stable",
+    "rolling_slope",
+    "lag_edge_detect",
+    "peak_detect",
+    "topk_per_group",
+    "score_metrics",
+    "corr_pairs",
+    "interval_join_flags",
+    "edge_intervals",
+    "union_by_name",
+    "quantile_threshold",
+    "summary_stats",
+    "gapfill_locf_1m",
+    "matrix_profile",
+    "motif_discovery",
+    "discord_discovery",
+    "neighbor_search",
+    "matrix_profile_multidim",
+    "fluss_L_ranking",
+    "nn_label_stats",
+    "corrected_matrix_profile",
+    "subspace_columns",
+    "motif_label_stats",
+    "classification_metrics",
+    "equi_join_enrich",
+    "deviation_windows",
+    "changepoint_event_scores_poly2",
+    "chunk_roundtrip",
+]
+
+
+def ordered_queries() -> dict:
+    """QUERIES reordered: priority window first, the rest (all hash-green in
+    r01+r02 with in-window coverage of the same operators) after."""
+    out = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+    out.update({n: fn for n, fn in QUERIES.items() if n not in out})
+    return out
