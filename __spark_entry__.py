@@ -27,9 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from more_pattern_extraction_spark.operators import gapfill as G
 
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
-        F.col("ts") < "2024-01-04"  # bound the dense spine; driver collects
-    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     r1m = ev.groupBy(
         F.col("user_id").cast("string").alias("conv_id"),
         F.date_trunc("minute", "ts").alias("bucket_start"),

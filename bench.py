@@ -83,7 +83,9 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench(
         "dedup_minhash_lsh",
-        lambda: DD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, threshold=0.5).count(),
+        lambda: DD.minhash_lsh_pairs(
+            docs, n_hashes=8, bands=4, threshold=0.5, max_bucket_width=4096
+        ).count(),
     )
     # ANN: brute-force cosine top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

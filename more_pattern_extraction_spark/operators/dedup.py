@@ -1,8 +1,8 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Exact (hash-groupBy), MinHash+LSH (shingle → minhash signature → band
-bucket → candidate join → Jaccard verify), SimHash (vectorized pandas
-UDF), n-gram Jaccard, and embedding-cosine near-dup (similarity_search).
+bucket → candidate join → Jaccard verify), SimHash (fully relational —
+JVM-side token hashing + 64 conditional bit-sums), n-gram Jaccard, and embedding-cosine near-dup (similarity_search).
 
 Scale posture (100 TB corpus):
   * never shuffle raw text as a key — exact dedup groups on md5(text)
@@ -18,8 +18,6 @@ Scale posture (100 TB corpus):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -129,7 +127,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_bucket_width: int = 4096,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature → band keys → bucket join →
     exact Jaccard verify on candidates only.
@@ -143,7 +141,9 @@ def minhash_lsh_pairs(
         (boilerplate text): each bucket keeps its ``max_bucket_width``
         lowest doc ids (deterministic).  Docs cut from one hot bucket can
         still pair through their other bands; exact-duplicate clusters
-        should be collapsed by exact_dedup upstream.
+        should be collapsed by exact_dedup upstream.  Default OFF — the
+        cap trades recall for a worst-case bound, so scale-sensitive call
+        sites opt in explicitly rather than silently losing pairs.
     """
     rows_per_band = n_hashes // bands
     s = (
@@ -202,40 +202,57 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized pandas UDF — 64 per-bit majorities)
+# SimHash — fully relational (zero Python on the hot path)
 # ---------------------------------------------------------------------------
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens: per-token md5-derived 64-bit
-    hash; bit-majority vote over tokens.  Arrow-vectorized (one Python hop
-    per batch, numpy bit ops inside)."""
-    import hashlib
+def simhash_parts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, sim_hi, sim_lo): 64-bit SimHash as two unsigned 32-bit halves,
+    computed entirely JVM-side — explode tokens, per-token 64-bit hash =
+    first 8 bytes of md5(token) (hi = md5 hex chars 1-8, lo = 9-16), then
+    ONE hash aggregate with 64 conditional bit-sums + a count; the
+    per-bit majority (ties set the bit: ones*2 >= n) reassembles the
+    fingerprint.  Duplicated tokens vote once each, matching the classic
+    definition.
 
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split(" ")
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                for tok in toks
-            ],
-            dtype=np.uint64,
+    Scale shape: the explode fans out ×tokens but each row is (doc,
+    int, int); partial (map-side) aggregation collapses to one row per
+    doc per partition before the shuffle, so the shuffle is O(docs), not
+    O(tokens).  Two 32-bit halves avoid int64 sign overflow in BOTH
+    engines (the DuckDB oracle plays the same trick with HUGEINT)."""
+    t = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("tok"),
+    )
+    h = F.md5(F.col("tok").cast("binary"))
+    t = t.select(
+        "doc",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(32):
+        aggs.append(
+            F.sum(F.shiftrightunsigned(F.col("hi"), j).bitwiseAND(F.lit(1))).alias(f"h{j}")
         )
-        if len(hs) == 0:
-            out[i] = 0
-            continue
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
-        sim = np.uint64(0)
-        maj = bits * 2 >= len(hs)
-        sim = np.sum(maj.astype(np.uint64) << np.arange(64, dtype=np.uint64), dtype=np.uint64)
-        out[i] = np.int64(sim.astype(np.int64))
-    return pd.Series(out)
+        aggs.append(
+            F.sum(F.shiftrightunsigned(F.col("lo"), j).bitwiseAND(F.lit(1))).alias(f"l{j}")
+        )
+    g = t.groupBy("doc").agg(*aggs)
 
+    def _assemble(prefix: str):
+        out = F.lit(0).cast("long")
+        for j in range(32):
+            out = out + F.when(
+                F.col(f"{prefix}{j}") * 2 >= F.col("n"), F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
 
-def simhash64(col):
-    """Lazily-built pandas UDF (requires an active SparkSession)."""
-    return F.pandas_udf(_simhash_batch, "long")(col)
+    return g.select(
+        "doc", _assemble("h").alias("sim_hi"), _assemble("l").alias("sim_lo")
+    )
 
 
 def simhash_near_dups(
@@ -248,26 +265,34 @@ def simhash_near_dups(
     """SimHash near-dup pairs: band the 64-bit fingerprint into n_blocks
     equal bit-blocks (pigeonhole: hamming ≤ n_blocks-1 ⇒ ≥1 identical
     block, so recall is GUARANTEED iff max_hamming < n_blocks), bucket-join
-    on block value, verify hamming distance with bit_count."""
+    on block value, verify hamming distance with bit_count.  Blocks k<n/2
+    come from the low 32-bit half, the rest from the high half."""
     assert 64 % n_blocks == 0 and max_hamming < n_blocks
     width = 64 // n_blocks
+    half_blocks = 32 // width
     mask = (1 << width) - 1
-    s = docs.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sim"))
+    s = simhash_parts(docs, id_col, text_col)
     blocks = s.select(
         "doc",
-        "sim",
+        "sim_hi",
+        "sim_lo",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).alias("blk"),
-                        F.shiftrightunsigned(F.col("sim"), width * k).bitwiseAND(F.lit(mask)).alias("val"),
+                        F.shiftrightunsigned(
+                            F.col("sim_lo" if k < half_blocks else "sim_hi"),
+                            width * (k % half_blocks),
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
                     )
                     for k in range(n_blocks)
                 ]
             )
         ).alias("b"),
-    ).select("doc", "sim", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    ).select("doc", "sim_hi", "sim_lo", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.val") == F.col("b.val"))
@@ -275,12 +300,16 @@ def simhash_near_dups(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("b.sim_hi").alias("hi_b"),
+            F.col("b.sim_lo").alias("lo_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

@@ -32,23 +32,51 @@ _SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 def bucket_spine(rollup: DataFrame, tier: str = "1m") -> DataFrame:
     """Dense per-conversation bucket grid from min to max observed bucket.
 
-    Split per day so the generated arrays stay bounded at scale, then
-    exploded — the explode distributes with the conversation partition.
+    Split per (conv, day): the bounds row is first crossed with a one-day
+    spine, then each (conv, day) row generates a day-bounded ``sequence``
+    (≤1440 elements at 1m) — a multi-year conversation never materializes
+    its whole range in a single array row.  The union of the per-day
+    sequences equals the single full-range sequence exactly because every
+    supported step divides a day and ``bucket_start`` is step-aligned, so
+    each midnight lies on the bucket grid.  The (conv, day) repartition
+    doubles as hot-conversation salting: one viral conversation's spine
+    spreads across tasks by day.
     """
     step = _SECONDS[tier]
     bounds = rollup.groupBy("conv_id").agg(
         F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1")
     )
-    # the bounds table is tiny (one row per conv) and AQE would coalesce it
-    # to one partition — but the explode below fans each row out to up to
-    # 10^5+ spine rows, so spread conversations across tasks FIRST
-    bounds = bounds.repartition("conv_id")
-    return bounds.select(
+    if tier == "1d":
+        # one bucket per day — the whole-range sequence IS the day spine
+        return bounds.repartition("conv_id").select(
+            "conv_id",
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.expr(f"interval {step} seconds"))
+            ).alias("bucket_start"),
+        )
+    days = bounds.select(
+        "conv_id",
+        "b0",
+        "b1",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("b0")),
+                F.date_trunc("day", F.col("b1")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    # the day table is still small (rows = conv-days, pre-explode) but the
+    # sequence below fans each row out ×1440 (1m) — spread (conv, day)
+    # across tasks FIRST so a hot conversation doesn't pin one task
+    days = days.repartition("conv_id", "day")
+    day_end = F.col("day") + F.expr("interval 1 day") - F.expr(f"interval {step} seconds")
+    return days.select(
         "conv_id",
         F.explode(
             F.sequence(
-                F.col("b0"),
-                F.col("b1"),
+                F.greatest(F.col("b0"), F.col("day")),
+                F.least(F.col("b1"), day_end),
                 F.expr(f"interval {step} seconds"),
             )
         ).alias("bucket_start"),

@@ -88,11 +88,18 @@ def cosine_topk_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """ANN top-k: candidates limited to the query's hyperplane-sign bucket,
     then exact cosine rank inside it.  Recall < 1 by construction; the
-    recall/SF trade is 2^n_planes buckets (multi-probe = union of
-    neighboring buckets, left as the documented upgrade path)."""
+    recall/SF trade is 2^n_planes buckets.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (n_planes single-bit flips,
+    exploded on the *query* side only — the corpus is still bucketed
+    once).  This recovers most of the recall lost to a larger n_planes:
+    a near neighbor disagrees with the query on few hyperplane signs, so
+    its bucket is usually within Hamming-1."""
     from pyspark.sql import Window
 
     planes = _planes(n_planes, dim, seed)
@@ -106,6 +113,14 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("qv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -114,6 +129,8 @@ def cosine_topk_lsh(
             "cand_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
+        # a candidate reachable through several probes must rank once
+        .dropDuplicates(["query_id", "cand_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -122,20 +139,46 @@ def cosine_topk_lsh(
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 7,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_width: int | None = None,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing (same-bucket
-    candidates only) + threshold verify."""
+    candidates only) + threshold verify.
+
+    Scale shape: the same-bucket self-join is O(Σ w_b²) over bucket widths
+    w_b, so bucket count must GROW with the corpus — ``n_planes=None``
+    (default) sizes it as ceil(log2(n / target_bucket_rows)), keeping the
+    expected width ≈ target_bucket_rows at any corpus size (one count()
+    job, driver-side).  ``max_bucket_width`` is the deterministic hard cap
+    for adversarial skew (a viral embedding cluster): each bucket keeps
+    its lowest ids, same policy as dedup.minhash_lsh_pairs.  Both are
+    opt-in/auto rather than silently lossy: the fixed-plane path (explicit
+    ``n_planes``) reproduces engine-portable buckets for the oracle."""
+    if n_planes is None:
+        import math
+
+        n = emb.count()
+        n_planes = max(6, math.ceil(math.log2(max(n, 2) / target_bucket_rows)))
     planes = _planes(n_planes, dim, seed)
     s = emb.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket_width:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket").orderBy("doc")
+        s = (
+            s.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_width)
+            .drop("_rn")
+        )
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))

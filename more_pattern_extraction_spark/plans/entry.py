@@ -1682,7 +1682,9 @@ def embedding_near_dups(spark, sf_dir):
     planted = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    return SS.embedding_near_dups(planted, threshold=0.99)
+    # n_planes pinned so buckets are reproducible in the DuckDB oracle;
+    # production callers leave it None → auto-scaled from corpus count
+    return SS.embedding_near_dups(planted, threshold=0.99, n_planes=6)
 
 
 # ---------------------------------------------------------------------------

@@ -79,7 +79,8 @@ def test_minhash_lsh_bucket_cap_bounds_viral_bucket(spark, docs):
     assert (0, 100) in pairs and (1, 101) in pairs
 
 
-def _py_simhash(text: str) -> int:
+def _py_simhash(text: str) -> tuple[int, int]:
+    """(hi32, lo32) halves of the 64-bit simhash — python oracle."""
     toks = text.split(" ")
     acc = np.zeros(64)
     for t in toks:
@@ -90,14 +91,14 @@ def _py_simhash(text: str) -> int:
     for b in range(64):
         if acc[b] * 2 >= len(toks):
             out |= 1 << b
-    return out - (1 << 64) if out >= (1 << 63) else out
+    return out >> 32, out & 0xFFFFFFFF
 
 
 def test_simhash_matches_python_oracle(spark, docs):
-    got = docs.select("doc_id", DD.simhash64(F.col("text")).alias("s")).orderBy("doc_id").collect()
+    got = DD.simhash_parts(docs).orderBy("doc").collect()
     pdf = docs.toPandas().set_index("doc_id")
     for r in got[:10]:
-        assert r.s == _py_simhash(pdf.loc[r.doc_id].text)
+        assert (r.sim_hi, r.sim_lo) == _py_simhash(pdf.loc[r.doc].text)
 
 
 def test_simhash_near_dups(spark, docs):
@@ -160,6 +161,42 @@ def test_embedding_near_dups_finds_planted(spark, emb):
     got = SS.embedding_near_dups(planted, threshold=0.999, n_planes=4, dim=16).toPandas()
     found = {(r.doc_a, r.doc_b) for r in got.itertuples()}
     assert all((i, i + 1000) in found for i in range(80))  # same bucket always
+
+
+def test_embedding_near_dups_auto_planes_and_cap(spark, emb):
+    df, _ = emb
+    planted = df.unionByName(
+        df.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    # n_planes=None → auto-scaled from corpus count (tiny corpus → floor 6);
+    # identical vectors still land in the same bucket, so all plants found
+    auto = SS.embedding_near_dups(planted, threshold=0.999, dim=16,
+                                  target_bucket_rows=16).toPandas()
+    found = {(r.doc_a, r.doc_b) for r in auto.itertuples()}
+    assert all((i, i + 1000) in found for i in range(80))
+    # a hard bucket-width cap bounds the self-join: with width 1 no bucket
+    # can form a pair at all
+    capped = SS.embedding_near_dups(
+        planted, threshold=0.999, n_planes=4, dim=16, max_bucket_width=1
+    ).toPandas()
+    assert len(capped) == 0
+
+
+def test_lsh_topk_multi_probe_recall_not_worse(spark, emb):
+    df, vecs = emb
+    q = df.filter("vec_id < 10")
+    exact = SS.cosine_topk(df, q, k=3).toPandas()
+    single = SS.cosine_topk_lsh(df, q, k=3, n_planes=4, dim=16).toPandas()
+    multi = SS.cosine_topk_lsh(df, q, k=3, n_planes=4, dim=16, multi_probe=True).toPandas()
+
+    def recall(approx):
+        m = approx.merge(exact, on=["query_id", "cand_id"], how="inner")
+        return len(m) / len(exact)
+
+    assert recall(multi) >= recall(single)
+    # multi-probe cosines are still exact for returned pairs
+    m = multi.merge(exact, on=["query_id", "cand_id"], suffixes=("_a", "_e"))
+    np.testing.assert_allclose(m.cos_a.values, m.cos_e.values, atol=1e-9)
 
 
 def test_language_id_markers(spark):
