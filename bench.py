@@ -6,8 +6,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": ...,
      "throughput": {...rows/sec for the rollup path...}}
 
-Measures compute, not tiny-file IO: results are drained with count()
-(actions force the full plan; AQE on).  Scaling-efficiency evidence
+Measures compute, not tiny-file IO: results are drained with a full-row
+checksum (sum of xxhash64 over every column) — count() would let Catalyst
+prune the aggregate/window expressions being timed.  Scaling-efficiency evidence
 (local[8] vs local[32]) is scripts/bench_scaling.py → BENCH_SCALING.md.
 """
 
@@ -23,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from more_pattern_extraction_spark.session import get_spark  # noqa: E402
+from more_pattern_extraction_spark.session import drain_checksum, get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -60,41 +61,41 @@ def main() -> None:
 
     # A1: 1m rollup over the full stream (the headline metric's numerator)
     r1m = R.rollup_from_raw(feats, "1m")
-    bench("rollup_1m", lambda: r1m.count())
+    bench("rollup_1m", lambda: drain_checksum(r1m))
     # cascade 1m→1h→1d (re-agg only)
-    bench("rollup_cascade", lambda: R.cascade(R.cascade(r1m, "1h"), "1d").count())
+    bench("rollup_cascade", lambda: drain_checksum(R.cascade(R.cascade(r1m, "1h"), "1d")))
     # gap-fill one day of the grid (spine + LOCF + interp, all windows)
     day1 = r1m.filter(F.col("bucket_start") < "2024-01-03")
-    bench("gapfill_2d", lambda: G.gap_fill_rollup(day1, "1m").count())
+    bench("gapfill_2d", lambda: drain_checksum(G.gap_fill_rollup(day1, "1m")))
     # chunk codec round trip (DoD + Gorilla via pandas UDFs)
     bench(
         "chunks_roundtrip",
-        lambda: CH.decode_chunks(
+        lambda: drain_checksum(CH.decode_chunks(
             CH.encode_chunks(r1m, ["latency_avg", "latency_sum"], "1m")
-        ).count(),
+        )),
     )
     # W1: matrix profile per conversation (grouped STOMP kernel)
     series = turns.select(
         "conv_id", F.col("ts").alias("bucket_start"),
         F.col("latency").alias("latency_avg_filled"),
     ).na.drop(subset=["latency_avg_filled"])
-    bench("matrix_profile", lambda: MP.matrix_profile(series, 16).count())
+    bench("matrix_profile", lambda: drain_checksum(MP.matrix_profile(series, 16)))
     # dedup: MinHash-LSH near-dup pairs over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench(
         "dedup_minhash_lsh",
-        lambda: DD.minhash_lsh_pairs(
+        lambda: drain_checksum(DD.minhash_lsh_pairs(
             docs, n_hashes=8, bands=4, threshold=0.5, max_bucket_width=4096
-        ).count(),
+        )),
     )
     # ANN: brute-force cosine top-k over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    bench("embedding_topk", lambda: SS.cosine_topk(emb, q, k=5).count())
+    bench("embedding_topk", lambda: drain_checksum(SS.cosine_topk(emb, q, k=5)))
     # W3: AV-corrected matrix profile (relational annotation vector)
     bench(
         "corrected_matrix_profile",
-        lambda: MP.corrected_matrix_profile(series, 16).count(),
+        lambda: drain_checksum(MP.corrected_matrix_profile(series, 16)),
     )
     # W11: 2-dim mSTOMP (blocked-GEMM k-dim path)
     series2 = series.withColumn(
@@ -105,9 +106,9 @@ def main() -> None:
     ).na.drop(subset=["f2"])
     bench(
         "matrix_profile_multidim",
-        lambda: MP.matrix_profile_multidim(
+        lambda: drain_checksum(MP.matrix_profile_multidim(
             series2, 16, ["latency_avg_filled", "f2"]
-        ).count(),
+        )),
     )
 
     total = round(sum(timings.values()), 3)

@@ -182,7 +182,14 @@ def stomp(t: np.ndarray, m: int, ez: int | None = None) -> tuple[np.ndarray, np.
 def _sort_dims_inplace(dist: np.ndarray) -> np.ndarray:
     """Ascending sort along axis 0 (the dimension axis, small d) via a
     vectorized odd-even transposition network — ~10× faster than
-    np.sort(axis=0), which strides across the slowest axis."""
+    np.sort(axis=0), which strides across the slowest axis.
+
+    Inputs must be NaN-free: np.minimum/maximum propagate NaN into BOTH
+    lanes, so one NaN dimension would poison every profile level (np.sort
+    pushed NaN last instead).  mstomp maps NaN→+inf before calling — +inf
+    sorts last exactly like np.sort's NaN-last, and any profile level
+    whose cumulative sum touches it is non-finite and excluded, the same
+    outcome as a NaN there."""
     d = dist.shape[0]
     for rnd in range(d):
         for k in range(rnd % 2, d - 1, 2):
@@ -241,6 +248,10 @@ def mstomp(
             np.sqrt(qt, out=qt)
         for i in range(i0, i1):
             dist[:, i - i0, max(0, i - ez): min(l, i + ez + 1)] = np.inf
+        # NaN (from NaN input values, e.g. a missing dimension) → +inf:
+        # keeps the sort network NaN-safe and the position excluded, see
+        # _sort_dims_inplace
+        np.nan_to_num(dist, copy=False, nan=np.inf, posinf=np.inf)
         if include:
             ordered = (
                 np.concatenate([dist[include], _sort_dims_inplace(dist[rest])])

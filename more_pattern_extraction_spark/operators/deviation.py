@@ -43,8 +43,11 @@ def fit_polynomial_models(
         c = np.linalg.solve(A, V.T @ y)
         return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "coefs": [list(c)]})
 
+    # derive the group column's type from the input schema — hardcoding
+    # string breaks/coerces non-string keys (e.g. bigint event_id)
+    gtype = df.schema[group_col].dataType.simpleString()
     return df.groupBy(group_col).applyInPandas(
-        f, f"{group_col} string, coefs array<double>"
+        f, f"{group_col} {gtype}, coefs array<double>"
     )
 
 

@@ -48,9 +48,11 @@ def turn_features(df: DataFrame, latency_col: str | None = None) -> DataFrame:
     if latency_col and latency_col in df.columns:
         lat = F.col(latency_col)
     else:
-        lat = (
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-        )
+        # the intermediate cast("timestamp") makes this work for both
+        # TIMESTAMP and TIMESTAMP_NTZ sources (Spark 4 forbids NTZ→double
+        # directly; session TZ is pinned UTC so NTZ→LTZ is deterministic)
+        sec = F.col("ts").cast("timestamp").cast("double")
+        lat = sec - F.lag(sec).over(w)
     return df.withColumn("latency", lat).withColumn(
         "is_tool", F.col("tool").isNotNull().cast("int")
     )

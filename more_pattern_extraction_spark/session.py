@@ -60,3 +60,20 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def drain_checksum(df) -> int:
+    """Force FULL evaluation of every output column and return a checksum.
+
+    ``df.count()`` lets Catalyst prune expressions that don't affect
+    cardinality (aggregate values, window/interpolation columns), so a
+    count-drained benchmark can under-bill the very computation being
+    timed.  Hashing every column into one xxhash64 and summing makes each
+    value live; the reduction itself is one long per partition.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.select(F.xxhash64(*df.columns).alias("h")).agg(
+        F.sum("h").alias("checksum"), F.count(F.lit(1)).alias("rows")
+    ).collect()[0]
+    return row.rows

@@ -5,10 +5,12 @@ reference semantics: the LOCF leg of chunk_interpolate,
 ``modules/preprocessing.py:185-208``).
 
 State per conversation is ONE double (the last observed value) — bounded
-regardless of stream length, the shape that survives 10^12 turns.  Rows
-are filled in event-time order WITHIN each micro-batch; cross-batch
-correctness assumes per-conversation monotone arrival (late rows are the
-batch tier's nightly-repair job, same contract as rollup_stream.py).
+regardless of stream length, the shape that survives 10^12 turns.  A
+group's rows within a micro-batch are concatenated across Arrow chunks
+and sorted by event time ONCE before filling (chunk arrival order is
+shuffle order, not event-time order); cross-batch correctness assumes
+per-conversation monotone arrival (late rows are the batch tier's
+nightly-repair job, same contract as rollup_stream.py).
 """
 
 from __future__ import annotations
@@ -22,24 +24,29 @@ STATE_SCHEMA = "last double"
 
 
 def _locf_fn(key: tuple, pdfs, state: GroupState):
+    # applyInPandasWithState splits a group's rows within a micro-batch
+    # into multiple Arrow chunks in SHUFFLE-ARRIVAL order, not event-time
+    # order — filling chunk-by-chunk could carry a later value backwards.
+    # Materialize the whole group's batch and sort ONCE: state is one
+    # double, and a group's per-batch rows must fit in memory under this
+    # operator anyway.
     last = state.get[0] if state.exists else None
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        s = pdf["value"].astype("float64")
-        filled = s.ffill()
-        if last is not None:
-            filled = filled.fillna(last)
-        obs = s.dropna()
-        if len(obs):
-            last = float(obs.iloc[-1])
-        yield pd.DataFrame(
-            {
-                "conv_id": key[0],
-                "ts": pdf["ts"],
-                "value": s,
-                "value_locf": filled,
-            }
-        )
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    s = pdf["value"].astype("float64")
+    filled = s.ffill()
+    if last is not None:
+        filled = filled.fillna(last)
+    obs = s.dropna()
+    if len(obs):
+        last = float(obs.iloc[-1])
+    yield pd.DataFrame(
+        {
+            "conv_id": key[0],
+            "ts": pdf["ts"],
+            "value": s,
+            "value_locf": filled,
+        }
+    )
     if last is not None:
         state.update((last,))
 

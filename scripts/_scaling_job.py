@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from more_pattern_extraction_spark.session import get_spark  # noqa: E402
+from more_pattern_extraction_spark.session import drain_checksum, get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -53,16 +53,18 @@ def main() -> None:
         t0 = time.time()
         feats = R.turn_features(turns)
         r1m = R.rollup_from_raw(feats, "1m").persist()
-        r1m.count()
+        drain_checksum(r1m)  # checksum drain: every rollup value computed
         stages["rollup"] = round(time.time() - t0, 2)
 
         t1 = time.time()
         filled = G.gap_fill_rollup(r1m, "1m").persist()
-        n_filled = filled.count()
+        n_filled = drain_checksum(filled)
         stages["gapfill"] = round(time.time() - t1, 2)
 
         t1 = time.time()
-        n_chunks = CH.encode_chunks(r1m, ["latency_avg", "latency_sum"], "1m").count()
+        n_chunks = drain_checksum(
+            CH.encode_chunks(r1m, ["latency_avg", "latency_sum"], "1m")
+        )
         stages["chunks"] = round(time.time() - t1, 2)
 
         t1 = time.time()
@@ -75,7 +77,7 @@ def main() -> None:
         # windowed MP (per conv per week, m = 2h on the 1m grid): bounded
         # tasks even for Zipf-hot conversations — the skew-safe production
         # shape (same workload shape as the reference's m=1-day profile)
-        n_mp = MP.matrix_profile(grid, mp_m, window="week").count()
+        n_mp = drain_checksum(MP.matrix_profile(grid, mp_m, window="week"))
         stages["matrix_profile"] = round(time.time() - t1, 2)
         wall = time.time() - t0
         r1m.unpersist()

@@ -63,7 +63,12 @@ def _to_frames(tbl: pa.Table) -> tuple[pd.DataFrame, pd.DataFrame, dict[str, str
         cols[c] = s
     pdf = pd.DataFrame(cols)[sorted(cols)]
     mdf = pd.DataFrame(masks)[sorted(cols)]
-    order = pdf.sort_values(list(pdf.columns), na_position="first").index
+    # null-mask columns as SECONDARY sort keys: two rows tied on all value
+    # columns but differing in NULL-vs-NaN (both NaN in the value frame)
+    # would otherwise sort in either order across engines, producing
+    # spurious positional mask mismatches
+    comb = pd.concat([pdf, mdf.add_suffix("\x00mask")], axis=1)
+    order = comb.sort_values(list(comb.columns), na_position="first").index
     return pdf.loc[order].reset_index(drop=True), mdf.loc[order].reset_index(drop=True), fams
 
 
