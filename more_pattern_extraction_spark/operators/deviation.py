@@ -255,3 +255,133 @@ def changepoint_event_scores(
     return val.join(test, "event_id").withColumn(
         "ratio", (F.col("test_me") - F.col("val_me")) / F.abs(F.col("val_me"))
     )
+
+
+def fit_quantile_line(
+    train: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col: str = "event_id",
+    tau: float = 0.9,
+) -> DataFrame:
+    """Exact τ-quantile (pinball-loss) degree-1 fit per group — the
+    deterministic linear member of the reference's quantile-regression
+    model family (underperformance_estimator.py:20-48, LightGBM
+    ``objective='quantile'``; learning.py's model zoo).
+
+    An optimal solution of the quantile-regression LP passes through at
+    least two sample points (a basic solution), so the exact fit is the
+    argmin of the pinball loss over every point-pair line.  The argmin is
+    made engine-portable by rounding the loss to 1e-6 and tie-breaking on
+    the pair's time-order indices — the DuckDB oracle runs the identical
+    argmin.  Cost is O(n² pairs × n) per group, which is the point: this
+    fits BOUNDED event windows (n ≲ 10³ train points), not unbounded
+    streams; Spark parallelism is across events, the exact LP is within
+    one.  Vectorized numpy inside a grouped pandas UDF, pair dimension
+    blocked to bound memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", y_col], kind="mergesort").reset_index(drop=True)
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        n = len(x)
+        gid = pdf[group_col].iloc[0]
+        if n < 2:
+            return pd.DataFrame(
+                {group_col: [gid], "slope": [0.0],
+                 "icept": [float(y[0]) if n else 0.0], "n_train": [n]}
+            )
+        ii, jj = np.triu_indices(n, k=1)
+        dx = x[jj] - x[ii]
+        keep = dx != 0
+        ii, jj, dx = ii[keep], jj[keep], dx[keep]
+        b = (y[jj] - y[ii]) / dx
+        a = y[ii] - b * x[ii]
+        best = None  # (round(loss, 6), first-index-in-(i,j)-order, slope, icept)
+        for s in range(0, len(b), 8192):
+            e = min(s + 8192, len(b))
+            R = y[None, :] - (a[s:e, None] + b[s:e, None] * x[None, :])
+            L = np.where(R >= 0, tau * R, (tau - 1.0) * R).sum(axis=1)
+            Lr = np.round(L, 6)
+            k = int(np.argmin(Lr))  # first occurrence == (i, j) tie-break
+            cand = (Lr[k], s + k)
+            if best is None or cand[0] < best[0]:
+                best = (cand[0], cand[1], float(b[s + k]), float(a[s + k]))
+        return pd.DataFrame(
+            {group_col: [gid], "slope": [best[2]], "icept": [best[3]],
+             "n_train": [n]}
+        )
+
+    gtype = train.schema[group_col].dataType.simpleString()
+    return train.groupBy(group_col).applyInPandas(
+        f, f"{group_col} {gtype}, slope double, icept double, n_train long"
+    )
+
+
+def quantile_event_scores(
+    df: DataFrame,
+    events: DataFrame,
+    y_col: str,
+    tau: float = 0.9,
+    train_w: str = "7 days",
+    val_w: str = "2 days",
+    test_w: str = "2 days",
+) -> DataFrame:
+    """Per labeled event: exact τ-quantile line fit on the train window
+    (days-relative-to-event regressor), then val/test exceedance +
+    pinball scores — the underperformance signal of the reference's
+    quantile family (a healthy series exceeds the τ-line ≈(1−τ) of the
+    time; a post-event shift moves the exceed fraction / pinball mean).
+
+    Same broadcast range-join split machinery as
+    ``changepoint_event_scores``."""
+    on_cols: tuple[str, ...] = tuple(
+        c for c in events.columns if c not in ("event_id", "event_ts")
+    )
+    cond = (
+        F.col("ts") >= F.col("event_ts") - F.expr(f"INTERVAL {train_w}")
+        - F.expr(f"INTERVAL {val_w}")
+    ) & (F.col("ts") < F.col("event_ts") + F.expr(f"INTERVAL {test_w}"))
+    ev = F.broadcast(events.withColumnsRenamed({c: f"_ev_{c}" for c in on_cols}))
+    for c in on_cols:
+        cond = cond & (F.col(c) == F.col(f"_ev_{c}"))
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    e = (
+        df.join(ev, cond)
+        .withColumn(
+            "split",
+            F.when(
+                F.col("ts") < F.col("event_ts") - F.expr(f"INTERVAL {val_w}"), "train"
+            )
+            .when(F.col("ts") < F.col("event_ts"), "val")
+            .otherwise("test"),
+        )
+        .withColumn("_xe", (sec("ts") - sec("event_ts")) / 86400.0)
+        .filter(F.col(y_col).isNotNull())
+    )
+    fit = fit_quantile_line(
+        e.filter(F.col("split") == "train"), y_col, "_xe", "event_id", tau
+    )
+    y = F.col(y_col)
+    pr = F.col("icept") + F.col("slope") * F.col("_xe")
+    r = y - pr
+    pinball = F.when(r >= 0, F.lit(tau) * r).otherwise(F.lit(tau - 1.0) * r)
+    scored = e.filter(F.col("split") != "train").join(F.broadcast(fit), "event_id")
+    per_split = scored.groupBy("event_id", "split").agg(
+        F.avg((y > pr).cast("double")).alias("exceed"),
+        F.avg(pinball).alias("pinball"),
+        F.first("slope").alias("slope"),
+        F.first("icept").alias("icept"),
+    )
+    val = per_split.filter("split = 'val'").select(
+        "event_id", "slope", "icept",
+        F.col("exceed").alias("val_exceed"), F.col("pinball").alias("val_pinball"),
+    )
+    test = per_split.filter("split = 'test'").select(
+        "event_id",
+        F.col("exceed").alias("test_exceed"), F.col("pinball").alias("test_pinball"),
+    )
+    return val.join(test, "event_id")

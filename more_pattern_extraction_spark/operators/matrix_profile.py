@@ -339,3 +339,34 @@ def matrix_profile_distributed(
         F.col("mp"),
         F.when(F.col("mp") == float("inf"), F.lit(-1)).otherwise(F.col("pi")).alias("pi"),
     )
+
+
+def knee_dimensions(mdmp: DataFrame, group_col: str = "conv_id") -> DataFrame:
+    """W14 knee-over-dimensions (reference ``plot_knee``,
+    ``modules/plots.py:17-44``): the min value of each k-dim profile as a
+    curve over k — the reference plots it and eyeballs the elbow; here the
+    elbow is made explicit as the k maximizing the discrete curvature
+    (second difference) of the curve, with NULL curvature at the ends.
+
+    Input is ``matrix_profile_multidim`` output (conv, k, pos, mp, pi).
+    All Catalyst: one groupBy min + two ordered windows — the k-axis is
+    tiny (d rows per conversation), so this costs nothing after the MP.
+    Per-position values are rounded to 4 before the min (round is
+    monotone, so min∘round == round∘min — engine-portable either way)."""
+    from pyspark.sql import Window
+
+    per_k = (
+        mdmp.filter(F.col("mp") != float("inf"))
+        .groupBy(group_col, "k")
+        .agg(F.min(F.round("mp", 4)).alias("min_mp"))
+    )
+    w = Window.partitionBy(group_col).orderBy("k")
+    cur = per_k.withColumn("increment", F.col("min_mp") - F.lag("min_mp").over(w))
+    cur = cur.withColumn("curvature", F.lead("increment").over(w) - F.col("increment"))
+    wk = Window.partitionBy(group_col).orderBy(
+        F.desc_nulls_last("curvature"), "k"
+    )
+    return cur.withColumn(
+        "is_knee",
+        F.col("curvature").isNotNull() & (F.row_number().over(wk) == 1),
+    )

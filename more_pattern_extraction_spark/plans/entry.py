@@ -1823,6 +1823,146 @@ ORACLES["multimodal_frames"] = _OR.MULTIMODAL_FRAMES_SQL
 
 
 # ---------------------------------------------------------------------------
+# Round-3 additions: W14 knee, quantile (pinball) event scores, linear-
+# interpolation gap-fill — each with a full value-level oracle.
+# ---------------------------------------------------------------------------
+
+
+@register("knee_detection", _OR.knee_sql())
+def knee_detection(spark, sf_dir):
+    """W14 knee over dimensions (reference plot_knee, plots.py:17-44):
+    3-dim mSTOMP (f1 = value, f2 = props.k, f3 = lag(f1)), min profile
+    value per k, discrete-curvature elbow pick
+    (operators/matrix_profile.knee_dimensions)."""
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("f3", F.lag("value").over(w))
+        .filter(F.col("f3").isNotNull())
+    )
+    series = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("bucket_start"),
+        "event_id",
+        F.col("value").alias("f1"),
+        F.get_json_object("props", "$.k").cast("double").alias("f2"),
+        "f3",
+    )
+    mp = MP.matrix_profile_multidim(series, _MP_M, ["f1", "f2", "f3"])
+    knee = MP.knee_dimensions(mp)
+    return knee.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round("min_mp", 4).alias("min_mp"),
+        F.round("increment", 4).alias("increment"),
+        F.round("curvature", 4).alias("curvature"),
+        "is_knee",
+    )
+
+
+@register("quantile_event_scores", _OR.quantile_event_scores_sql(tau=0.9))
+def quantile_event_scores_q(spark, sf_dir):
+    """Quantile model family (underperformance_estimator.py:20-48): exact
+    τ=0.9 pinball-loss line fit per event's train window, val/test
+    exceedance + pinball scores (operators/deviation.quantile_event_scores;
+    the oracle runs the identical point-pair argmin)."""
+    from more_pattern_extraction_spark.operators import deviation as DV
+
+    ev = _events(spark, sf_dir)
+    events = (
+        ev.filter((F.col("event_type") == "error") & (F.col("ts") > "2024-01-10"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("event_ts"))
+        .select(F.col("user_id").cast("string").alias("event_id"), "event_ts",
+                "user_id")
+        .filter(F.col("event_ts") > "2024-01-10")
+    )
+    out = DV.quantile_event_scores(ev.drop("event_id"), events, "value", tau=0.9)
+    return out.select(
+        "event_id",
+        F.round("slope", 6).alias("slope"),
+        F.round("icept", 6).alias("icept"),
+        F.round("val_exceed", 6).alias("val_exceed"),
+        F.round("val_pinball", 6).alias("val_pinball"),
+        F.round("test_exceed", 6).alias("test_exceed"),
+        F.round("test_pinball", 6).alias("test_pinball"),
+    )
+
+
+@register(
+    "gapfill_interp_1m",
+    """
+    WITH day1 AS (
+      SELECT * FROM events WHERE ts < timestamp '2024-01-02'
+    ), r AS (
+      SELECT user_id, date_trunc('minute', ts) AS bucket_start,
+             round(avg(value), 6) AS latency_avg
+      FROM day1 GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, min(bucket_start) AS b0, max(bucket_start) AS b1 FROM r GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 MINUTE)) AS bucket_start
+      FROM b
+    ), j AS (
+      SELECT s.user_id, s.bucket_start, r.latency_avg
+      FROM spine s LEFT JOIN r USING (user_id, bucket_start)
+    ), p AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket_start) AS pos
+      FROM j
+    ), q AS (
+      SELECT *,
+        last_value(latency_avg IGNORE NULLS) OVER wp AS val_prev,
+        last_value(CASE WHEN latency_avg IS NOT NULL THEN pos END IGNORE NULLS)
+          OVER wp AS pos_prev,
+        last_value(latency_avg IGNORE NULLS) OVER wn AS val_next,
+        last_value(CASE WHEN latency_avg IS NOT NULL THEN pos END IGNORE NULLS)
+          OVER wn AS pos_next
+      FROM p
+      WINDOW wp AS (PARTITION BY user_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY user_id ORDER BY pos DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id AS conv_key, bucket_start, latency_avg IS NULL AS is_gap,
+      round(CASE
+        WHEN latency_avg IS NOT NULL THEN latency_avg
+        WHEN (pos_prev IS NOT NULL AND pos - pos_prev <= 2)
+          OR (pos_next IS NOT NULL AND pos_next - pos <= 2) THEN
+          CASE WHEN val_prev IS NOT NULL AND val_next IS NOT NULL THEN
+                 val_prev + (val_next - val_prev) * (pos - pos_prev)
+                   / CAST((pos_next - pos) + (pos - pos_prev) AS DOUBLE)
+               WHEN val_prev IS NOT NULL THEN val_prev
+               ELSE val_next END
+      END, 6) AS latency_interp
+    FROM q
+    """,
+)
+def gapfill_interp_1m(spark, sf_dir):
+    """Spine-densify + pandas-parity LINEAR interpolation (limit 2) on one
+    day of 1m rollups — the second gap-fill leg of the north rule (LOCF is
+    gapfill_locf_1m), oracled end-to-end in SQL (reference
+    chunk_interpolate, preprocessing.py:185-208)."""
+    from more_pattern_extraction_spark.operators import gapfill as G
+
+    ev = _events(spark, sf_dir).filter(F.col("ts") < "2024-01-02")
+    r = ev.groupBy(
+        F.col("user_id").alias("conv_id"),
+        F.date_trunc("minute", "ts").alias("bucket_start"),
+    ).agg(F.round(F.avg("value"), 6).alias("latency_avg"))
+    dense = G.bucket_spine(r, "1m").join(r, ["conv_id", "bucket_start"], "left")
+    dense = dense.withColumn("is_gap", F.col("latency_avg").isNull())
+    out = G.interpolate(dense, ["latency_avg"], limit=2)
+    return out.select(
+        F.col("conv_id").alias("conv_key"),
+        "bucket_start",
+        "is_gap",
+        F.round("latency_avg_filled", 6).alias("latency_interp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window priority ordering.
 #
 # The correctness driver checks the FIRST 50 registered queries; rounds 1-2
@@ -1851,7 +1991,7 @@ _PRIORITY = [
     "multimodal_frames",
     # new this round
     "knee_detection",
-    "quantile_changepoints",
+    "quantile_event_scores",
     "gapfill_interp_1m",
     # unique-coverage keepers, hash-green r02 (original thematic order)
     "rollup_1m",

@@ -111,18 +111,90 @@ def evaluate_generation(
     )
 
 
-def _breed(
-    scored: pd.DataFrame, rng: np.random.Generator, hof: pd.Series | None = None
+_GENES = ["m", "radius", "ez_frac", "k"]
+
+# the reference's six selection strategies (io.py:263-434), seeded/
+# vectorized here (the reference's unseeded random.choice is
+# irreproducible, SURVEY §5.1)
+SELECTIONS = (
+    "steady_state", "rank", "random", "tournament", "roulette", "sus",
+)
+# ... and its four crossovers (io.py:436-621)
+CROSSOVERS = ("single_point", "two_points", "uniform", "scattered")
+
+
+def _parent_pool(
+    scored: pd.DataFrame,
+    rng: np.random.Generator,
+    size: int,
+    strategy: str = "tournament",
+    toursize: int = 3,
 ) -> pd.DataFrame:
-    """Tournament selection + uniform crossover + gaussian mutation
-    (the reference's strategy mix, io.py:263-621, made deterministic).
+    """Draw ``size`` parents by the named strategy.  All draws come from
+    the seeded generator; fitness ties resolve by stable order (indiv)."""
+    f = scored["f1"].to_numpy(dtype=float)
+    n = len(scored)
+    if strategy == "steady_state":
+        # top half, recycled in fitness order (io.py:263-280)
+        order = np.argsort(-f, kind="stable")[: max(2, n // 2)]
+        idx = np.tile(order, size // len(order) + 1)[:size]
+    elif strategy == "rank":
+        rank = np.argsort(np.argsort(-f, kind="stable"))  # 0 = best
+        w = (n - rank).astype(float)
+        idx = rng.choice(n, size, p=w / w.sum())
+    elif strategy == "random":
+        idx = rng.integers(0, n, size)
+    elif strategy == "tournament":
+        cand = rng.integers(0, n, (size, toursize))
+        idx = cand[np.arange(size), np.argmax(f[cand], axis=1)]
+    elif strategy == "roulette":
+        w = f - f.min() + 1e-9
+        idx = rng.choice(n, size, p=w / w.sum())
+    elif strategy == "sus":
+        # stochastic universal sampling: one spin, evenly-spaced pointers
+        w = f - f.min() + 1e-9
+        cum = np.cumsum(w / w.sum())
+        pts = rng.random() / size + np.arange(size) / size
+        idx = np.searchsorted(cum, pts)
+    else:
+        raise ValueError(f"unknown selection {strategy!r}; one of {SELECTIONS}")
+    return scored.iloc[idx].reset_index(drop=True)
+
+
+def _crossover_mask(
+    rng: np.random.Generator, n_genes: int, strategy: str = "uniform"
+) -> np.ndarray:
+    """True → gene from parent 1.  The reference's four crossover shapes
+    (io.py:436-621)."""
+    pos = np.arange(n_genes)
+    if strategy == "single_point":
+        return pos < rng.integers(1, n_genes)
+    if strategy == "two_points":
+        a, b = sorted(rng.choice(np.arange(1, n_genes), 2, replace=False))
+        return (pos < a) | (pos >= b)
+    if strategy == "uniform":
+        return rng.random(n_genes) < 0.5
+    if strategy == "scattered":
+        return rng.integers(0, 2, n_genes).astype(bool)
+    raise ValueError(f"unknown crossover {strategy!r}; one of {CROSSOVERS}")
+
+
+def _breed(
+    scored: pd.DataFrame,
+    rng: np.random.Generator,
+    hof: pd.Series | None = None,
+    selection: str = "tournament",
+    crossover: str = "uniform",
+) -> pd.DataFrame:
+    """Selection + crossover + gaussian mutation with elitism
+    (the reference's strategy matrix, io.py:263-621, made deterministic).
 
     ``hof`` — the all-time-best individual (hall of fame) — is always
     re-seeded into the next generation's elite, so the population's best
     fitness is monotone non-decreasing across generations (the reference's
     unseeded GA has no such guarantee, learning.py:430-431)."""
     n = len(scored)
-    genes = ["m", "radius", "ez_frac", "k"]
+    genes = _GENES
     elite = scored.sort_values("f1", ascending=False).head(max(1, n // 10))[genes]
     if hof is not None:
         elite = pd.concat([hof[genes].to_frame().T, elite], ignore_index=True)
@@ -130,13 +202,12 @@ def _breed(
             {"m": "int64", "radius": "float64", "ez_frac": "float64", "k": "int64"}
         ).drop_duplicates()
     n_child = n - len(elite)
+    pool = _parent_pool(scored, rng, 2 * n_child, selection)
     rows = []
-    for _ in range(n_child):
-        cand = scored.iloc[rng.integers(0, n, 3)]
-        p1 = cand.sort_values("f1", ascending=False).iloc[0]
-        cand = scored.iloc[rng.integers(0, n, 3)]
-        p2 = cand.sort_values("f1", ascending=False).iloc[0]
-        child = {g: (p1[g] if rng.random() < 0.5 else p2[g]) for g in genes}
+    for c in range(n_child):
+        p1, p2 = pool.iloc[2 * c], pool.iloc[2 * c + 1]
+        mask = _crossover_mask(rng, len(genes), crossover)
+        child = {g: (p1[g] if mask[i] else p2[g]) for i, g in enumerate(genes)}
         if rng.random() < 0.3:  # mutate one gene
             g = genes[rng.integers(0, len(genes))]
             lo, hi = GENE_BOUNDS[g]
@@ -160,8 +231,12 @@ def run_ga(
     seed: int = 42,
     value_col: str = "latency_avg_filled",
     order_col: str = "bucket_start",
+    selection: str = "tournament",
+    crossover: str = "uniform",
 ) -> pd.DataFrame:
-    """Returns the final scored population, best-first."""
+    """Returns the final scored population, best-first.  ``selection`` /
+    ``crossover`` pick from the reference's strategy matrix (SELECTIONS ×
+    CROSSOVERS)."""
     rng = np.random.default_rng(seed)
     pop = init_population(pop_size, rng)
     hof = None  # all-time best individual (hall of fame)
@@ -172,5 +247,5 @@ def run_ga(
         gen_best = best.iloc[0]
         if hof is None or gen_best["f1"] > hof["f1"]:
             hof = gen_best
-        pop = _breed(scored, rng, hof)
+        pop = _breed(scored, rng, hof, selection, crossover)
     return best.reset_index(drop=True)

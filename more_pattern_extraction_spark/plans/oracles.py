@@ -911,3 +911,174 @@ MULTIMODAL_FRAMES_SQL = """
            CAST(least(64, L - frame_idx * 64) AS BIGINT) AS frame_bytes
     FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# knee_detection — W14 knee over dimensions (reference plot_knee,
+# plots.py:17-44): min value of each k-dim profile as a curve over k, the
+# visual elbow made explicit as the k maximizing discrete curvature.
+# 3-dim brute force (f1 = value, f2 = props.k, f3 = lag(f1)); min over all
+# admissible pairs == min over positions of the per-position profile, and
+# round(min(x)) == min(round(x)) for the monotone round, so the oracle can
+# aggregate pairs directly.
+# ---------------------------------------------------------------------------
+
+
+def _multidim3_prefix(m: int = M, ez: int = EZ) -> str:
+    return f"""
+    WITH v0 AS (
+      SELECT user_id, ts, event_id, value AS f1,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS f2,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f3
+      FROM events
+    ), v2 AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             f1, f2, f3
+      FROM v0 WHERE f3 IS NOT NULL
+    ), st AS (
+      SELECT user_id, pos AS i,
+             avg(f1) OVER w AS mu1, var_pop(f1) OVER w AS va1,
+             avg(f2) OVER w AS mu2, var_pop(f2) OVER w AS va2,
+             avg(f3) OVER w AS mu3, var_pop(f3) OVER w AS va3,
+             count(*) OVER w AS cnt
+      FROM v2
+      WINDOW w AS (PARTITION BY user_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+    ), sb AS (
+      SELECT user_id, i, mu1, sqrt(va1) AS s1, mu2, sqrt(va2) AS s2,
+             mu3, sqrt(va3) AS s3
+      FROM st WHERE cnt = {m}
+    ), prs AS (
+      SELECT a.user_id, a.i, b.i AS j,
+             a.mu1 AS mu1i, a.s1 AS s1i, b.mu1 AS mu1j, b.s1 AS s1j,
+             a.mu2 AS mu2i, a.s2 AS s2i, b.mu2 AS mu2j, b.s2 AS s2j,
+             a.mu3 AS mu3i, a.s3 AS s3i, b.mu3 AS mu3j, b.s3 AS s3j
+      FROM sb a JOIN sb b USING (user_id)
+      WHERE abs(a.i - b.i) > {ez}
+    ), dts AS (
+      SELECT p.user_id, p.i, p.j,
+             sum(va.f1 * vb.f1) AS qt1, sum(va.f2 * vb.f2) AS qt2,
+             sum(va.f3 * vb.f3) AS qt3
+      FROM prs p
+      JOIN v2 va ON va.user_id = p.user_id AND va.pos BETWEEN p.i AND p.i + {m - 1}
+      JOIN v2 vb ON vb.user_id = p.user_id AND vb.pos = va.pos - p.i + p.j
+      GROUP BY 1, 2, 3
+    ), dd AS (
+      SELECT d.user_id, d.i, d.j,
+             sqrt(greatest(0, 2 * {m} * (1 - (qt1 - {m} * mu1i * mu1j)
+                                             / ({m} * s1i * s1j)))) AS d1,
+             sqrt(greatest(0, 2 * {m} * (1 - (qt2 - {m} * mu2i * mu2j)
+                                             / ({m} * s2i * s2j)))) AS d2,
+             sqrt(greatest(0, 2 * {m} * (1 - (qt3 - {m} * mu3i * mu3j)
+                                             / ({m} * s3i * s3j)))) AS d3
+      FROM dts d JOIN prs USING (user_id, i, j)
+    )"""
+
+
+def knee_sql(m: int = M, ez: int = EZ) -> str:
+    return _multidim3_prefix(m, ez) + """
+    , prof AS (
+      SELECT user_id, 1 AS k, min(round(least(d1, d2, d3), 4)) AS min_mp
+      FROM dd GROUP BY 1
+      UNION ALL
+      SELECT user_id, 2,
+             min(round((d1 + d2 + d3 - greatest(d1, d2, d3)) / 2, 4))
+      FROM dd GROUP BY 1
+      UNION ALL
+      SELECT user_id, 3, min(round((d1 + d2 + d3) / 3, 4)) FROM dd GROUP BY 1
+    ), c AS (
+      SELECT user_id, k, min_mp,
+             min_mp - lag(min_mp) OVER w AS increment
+      FROM prof WINDOW w AS (PARTITION BY user_id ORDER BY k)
+    ), cc AS (
+      SELECT user_id, k, min_mp, increment,
+             lead(increment) OVER w - increment AS curvature
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY k)
+    ), rk AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY curvature DESC NULLS LAST, k) AS rn
+      FROM cc
+    )
+    SELECT CAST(user_id AS BIGINT) AS conv_key, CAST(k AS BIGINT) AS k,
+           round(min_mp, 4) AS min_mp, round(increment, 4) AS increment,
+           round(curvature, 4) AS curvature,
+           (curvature IS NOT NULL AND rn = 1) AS is_knee
+    FROM rk
+    """
+
+
+# ---------------------------------------------------------------------------
+# quantile_event_scores — exact τ-quantile (pinball) line fit per event on
+# the train window, val/test exceedance + pinball scores (the reference's
+# quantile model family, underperformance_estimator.py:20-48).  The exact
+# fit enumerates every train point-pair line (an optimal quantile-LP
+# solution passes through two points) with the IDENTICAL rounded-loss
+# argmin + (i, j) tie-break the Spark grouped UDF runs.
+# ---------------------------------------------------------------------------
+
+
+def quantile_event_scores_sql(tau: float = 0.9) -> str:
+    def rho(r: str) -> str:
+        return (f"CASE WHEN {r} >= 0 THEN {tau} * ({r}) "
+                f"ELSE {tau - 1.0} * ({r}) END")
+
+    return f"""
+    WITH e AS (
+      SELECT user_id, min(ts) AS event_ts
+      FROM events WHERE event_type = 'error' AND ts > timestamp '2024-01-10'
+      GROUP BY 1 HAVING min(ts) > timestamp '2024-01-10'
+    ), j AS (
+      SELECT x.user_id, x.ts, x.value AS y,
+             (epoch(x.ts) - epoch(e.event_ts)) / 86400.0 AS xe,
+             CASE WHEN x.ts < e.event_ts - INTERVAL 2 DAY THEN 'train'
+                  WHEN x.ts < e.event_ts THEN 'val' ELSE 'test' END AS split
+      FROM events x JOIN e ON x.user_id = e.user_id
+        AND x.ts >= e.event_ts - INTERVAL 7 DAY - INTERVAL 2 DAY
+        AND x.ts < e.event_ts + INTERVAL 2 DAY
+      WHERE x.value IS NOT NULL
+    ), tr AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, y) - 1 AS rid,
+             xe AS x, y
+      FROM j WHERE split = 'train'
+    ), cand AS (
+      SELECT a.user_id, a.rid AS ci, b.rid AS cj,
+             (b.y - a.y) / (b.x - a.x) AS slope,
+             a.y - (b.y - a.y) / (b.x - a.x) * a.x AS icept
+      FROM tr a JOIN tr b
+        ON a.user_id = b.user_id AND a.rid < b.rid AND a.x != b.x
+    ), loss AS (
+      SELECT c.user_id, c.ci, c.cj, c.slope, c.icept,
+             sum({rho('t.y - (c.icept + c.slope * t.x)')}) AS pl
+      FROM cand c JOIN tr t ON t.user_id = c.user_id
+      GROUP BY 1, 2, 3, 4, 5
+    ), best AS (
+      SELECT user_id,
+             min({{'l': round(pl, 6), 'i': ci, 'j': cj,
+                  's': slope, 'c': icept}}) AS bb
+      FROM loss GROUP BY 1
+    ), fit AS (
+      SELECT user_id, struct_extract(bb, 's') AS slope,
+             struct_extract(bb, 'c') AS icept
+      FROM best
+    ), sc AS (
+      SELECT j.user_id, j.split, j.y, fit.slope, fit.icept,
+             fit.icept + fit.slope * j.xe AS pred
+      FROM j JOIN fit USING (user_id) WHERE j.split != 'train'
+    ), ps AS (
+      SELECT user_id, split,
+             avg(CASE WHEN y > pred THEN 1.0 ELSE 0.0 END) AS exceed,
+             avg({rho('y - pred')}) AS pinball,
+             any_value(slope) AS slope, any_value(icept) AS icept
+      FROM sc GROUP BY 1, 2
+    )
+    SELECT CAST(v.user_id AS VARCHAR) AS event_id,
+           round(v.slope, 6) AS slope, round(v.icept, 6) AS icept,
+           round(v.exceed, 6) AS val_exceed,
+           round(v.pinball, 6) AS val_pinball,
+           round(t.exceed, 6) AS test_exceed,
+           round(t.pinball, 6) AS test_pinball
+    FROM ps v JOIN ps t
+      ON v.user_id = t.user_id AND v.split = 'val' AND t.split = 'test'
+    """

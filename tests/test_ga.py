@@ -52,3 +52,49 @@ def test_ga_improves(spark, planted_grid):
     # hall-of-fame elitism: the evolved best can never fall below gen 0's best
     assert best.f1.max() >= gen0.f1.max() - 1e-12
     assert best.iloc[0].f1 > 0.3  # finds the planted motifs reasonably
+
+
+def test_selection_strategies_prefer_fit(spark):
+    """Every strategy draws fitter parents more often than uniform-random
+    (except 'random' itself); all are deterministic under a fixed seed."""
+    import numpy as np
+    import pandas as pd
+
+    from more_pattern_extraction_spark.plans import ga
+
+    scored = pd.DataFrame(
+        {
+            "indiv": range(10),
+            "m": 16, "radius": 2.0, "ez_frac": 0.5, "k": 2,
+            "f1": np.linspace(0.0, 0.9, 10),  # indiv 9 is fittest
+        }
+    )
+    for strat in ga.SELECTIONS:
+        rng1 = np.random.default_rng(7)
+        pool = ga._parent_pool(scored, rng1, 400, strat)
+        rng2 = np.random.default_rng(7)
+        pool2 = ga._parent_pool(scored, rng2, 400, strat)
+        pd.testing.assert_frame_equal(pool, pool2)  # seeded determinism
+        mean_f = pool["f1"].mean()
+        if strat == "random":
+            assert abs(mean_f - scored["f1"].mean()) < 0.1
+        else:
+            assert mean_f > scored["f1"].mean() + 0.05, strat
+
+
+def test_crossover_masks_shapes(spark):
+    import numpy as np
+
+    from more_pattern_extraction_spark.plans import ga
+
+    rng = np.random.default_rng(11)
+    for strat in ga.CROSSOVERS:
+        for _ in range(50):
+            mask = ga._crossover_mask(rng, 4, strat)
+            assert mask.shape == (4,) and mask.dtype == bool
+            if strat == "single_point":
+                # contiguous prefix of Trues
+                assert mask[0] and (np.diff(mask.astype(int)) <= 0).all()
+            if strat == "two_points":
+                # True outside [a, b), False inside — at most 2 transitions
+                assert mask[0] and np.abs(np.diff(mask.astype(int))).sum() <= 2
