@@ -97,9 +97,16 @@ def interpolate(
     limit: int = 1,
     partition_cols: tuple[str, ...] = ("conv_id",),
     order_col: str = "bucket_start",
+    with_locf: bool = False,
 ) -> DataFrame:
     """pandas-parity linear interpolation over a dense grid (see module
-    docstring).  Adds ``<col>_filled`` per input col plus ``gap_filled``."""
+    docstring).  Adds ``<col>_filled`` per input col plus ``gap_filled``.
+
+    ``with_locf=True`` additionally emits ``<col>_locf`` from the SAME
+    forward window pass (coalesce(col, prev-non-null) ≡ the standalone
+    ``locf``) — fusing it here saves a third full per-partition sort at
+    scale (forward, reverse, and the separate locf window each cost one).
+    """
     ord_w = Window.partitionBy(*partition_cols).orderBy(order_col)
     df = df.withColumn("_pos", F.row_number().over(ord_w))
     # CRUCIAL at scale: both look-around frames must be *growing* frames
@@ -133,6 +140,8 @@ def interpolate(
         )
         filled = F.when(F.col(c).isNotNull(), F.col(c)).when(in_limit, interp)
         df = df.withColumn(f"{c}_filled", filled)
+        if with_locf:
+            df = df.withColumn(f"{c}_locf", F.coalesce(F.col(c), val_prev))
         any_filled = any_filled | (F.col(c).isNull() & filled.isNotNull())
     return df.withColumn("gap_filled", any_filled).drop("_pos")
 
@@ -163,5 +172,4 @@ def gap_fill_rollup(rollup: DataFrame, tier: str = "1m", limit: int = 1) -> Data
     dense = dense.withColumn("turn_cnt", F.coalesce("turn_cnt", F.lit(0))).withColumn(
         "tool_call_cnt", F.coalesce("tool_call_cnt", F.lit(0))
     )
-    dense = interpolate(dense, ["latency_avg"], limit=limit)
-    return locf(dense, ["latency_avg"])
+    return interpolate(dense, ["latency_avg"], limit=limit, with_locf=True)
