@@ -339,3 +339,46 @@ def test_results_csv_roundtrip(spark, tmp_path):
     assert (
         back["ts"].astype("datetime64[us]") == pdf["ts"].astype("datetime64[us]")
     ).all()
+
+
+def test_streaming_locf_multichunk_batch_sorted_once(spark, tmp_path):
+    """A group whose micro-batch rows span MULTIPLE Arrow chunks must be
+    filled in event-time order, not chunk-arrival order: rows are written
+    ts-DESCENDING and maxRecordsPerBatch=4 forces 3 chunks of the single
+    12-row group, so per-chunk filling would emit NULLs/late carries.
+    (Regression test for the round-2 advisory.)"""
+    from more_pattern_extraction_spark.streaming.stateful_gapfill import streaming_locf
+
+    ts = pd.date_range("2024-01-01", periods=12, freq="1min")
+    vals = [10.0] + [None] * 5 + [20.0] + [None] * 5
+    pdf = pd.DataFrame({"conv_id": "c1", "ts": ts, "value": vals})
+    pdf = pdf.iloc[::-1].reset_index(drop=True)  # descending arrival order
+    src = tmp_path / "mc_src"
+    src.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "f1"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = (
+            spark.readStream.schema("conv_id string, ts timestamp, value double")
+            .parquet(str(src / "f1"))
+        )
+        q = (
+            streaming_locf(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("locf_mc")
+            .option("checkpointLocation", str(tmp_path / "mc_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = (
+        spark.sql("select * from locf_mc")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert got.value_locf.tolist() == [10.0] * 6 + [20.0] * 6
