@@ -113,3 +113,30 @@ def test_gap_fill_monotone(spark, transcripts):
     mask = ~np.isnan(a)
     np.testing.assert_allclose(a[mask], b[mask])
     assert (~np.isnan(b)).sum() >= mask.sum()
+
+
+def test_bucket_spine_day_split_equals_full_sequence(spark):
+    """The per-(conv, day) bounded sequences must union to EXACTLY the
+    single full-range minute grid — including partial first/last days and
+    a conversation contained in one day."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from more_pattern_extraction_spark.operators import gapfill as G
+
+    rows = [
+        # c1: 3-day span, starts/ends off-midnight
+        {"conv_id": "c1", "bucket_start": pd.Timestamp("2024-01-01 07:33"), "v": 1.0},
+        {"conv_id": "c1", "bucket_start": pd.Timestamp("2024-01-03 18:05"), "v": 2.0},
+        # c2: single-day, single-bucket
+        {"conv_id": "c2", "bucket_start": pd.Timestamp("2024-02-10 12:00"), "v": 3.0},
+    ]
+    r = spark.createDataFrame(pd.DataFrame(rows))
+    got = G.bucket_spine(r, "1m").toPandas().sort_values(
+        ["conv_id", "bucket_start"]
+    ).reset_index(drop=True)
+    c1 = got[got.conv_id == "c1"].bucket_start
+    exp = pd.date_range("2024-01-01 07:33", "2024-01-03 18:05", freq="1min")
+    assert list(c1) == list(exp)
+    c2 = got[got.conv_id == "c2"].bucket_start
+    assert list(c2) == [pd.Timestamp("2024-02-10 12:00")]
