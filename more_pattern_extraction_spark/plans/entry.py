@@ -891,7 +891,7 @@ def matrix_profile(spark, sf_dir):
     )
 
 
-@register("matrix_profile_distributed")  # rows-only: equals matrix_profile
+@register("matrix_profile_distributed")  # oracle: same brute-force SQL as matrix_profile
 def matrix_profile_distributed(spark, sf_dir):
     """W1 exact distributed chunk-pair variant (halo chunks + AB-join +
     min-reduce); equality with the grouped path is pytest-verified."""
@@ -905,7 +905,7 @@ def matrix_profile_distributed(spark, sf_dir):
     )
 
 
-@register("fluss_regimes")  # rows-only: iterative regime extraction
+@register("fluss_regimes")  # oracle: plans/oracles.fluss_sql (assigned below)
 def fluss_regimes(spark, sf_dir):
     """W2 FLUSS segmentation (segment_ts, patterns.py:368-402) over the MP
     index, L-sweep exploded into the group key."""
@@ -939,7 +939,7 @@ def motif_discovery(spark, sf_dir):
     )
 
 
-@register("discord_discovery")  # rows-only
+@register("discord_discovery")  # oracle: plans/oracles.discord_sql (assigned below)
 def discord_discovery(spark, sf_dir):
     """Top-k discords re-ranked from the persisted MP artifact."""
     from more_pattern_extraction_spark.operators import matrix_profile as MP
@@ -953,7 +953,7 @@ def discord_discovery(spark, sf_dir):
     )
 
 
-@register("neighbor_search")  # rows-only: FFT MASS2 inside the UDF
+@register("neighbor_search")  # oracle: plans/oracles.neighbor_search_sql (assigned below)
 def neighbor_search(spark, sf_dir):
     """W9/J5 cross-series query matching (find_neighbors,
     similarity.py:32-104): one fixed query pattern matched into every
@@ -972,7 +972,7 @@ def neighbor_search(spark, sf_dir):
     )
 
 
-@register("matrix_profile_multidim")  # rows-only: k-dim mSTOMP
+@register("matrix_profile_multidim")  # oracle: plans/oracles.multidim_sql (assigned below)
 def matrix_profile_multidim_q(spark, sf_dir):
     """W11/W14 k-dimensional matrix profile (mstump, patterns.py:313-364):
     dims = (value, json props.k); k-dim profiles are non-decreasing in k
@@ -1120,7 +1120,7 @@ def subspace_columns_q(spark, sf_dir):
     )
 
 
-@register("motif_label_stats")  # rows-only: A6/A7 motif-vs-mask statistics
+@register("motif_label_stats")  # oracle: plans/oracles.motif_label_stats_sql (assigned below)
 def motif_label_stats(spark, sf_dir):
     """A6/A7 calculate_motif_stats (patterns.py:135-243): motifs classified
     against an interval mask (errors ±10 min), per-motif class counts +
@@ -1334,7 +1334,7 @@ def deviation_windows(spark, sf_dir):
     )
 
 
-@register("changepoint_event_scores")  # rows-only (train/val/test splits)
+@register("changepoint_event_scores")  # oracle: plans/oracles.CHANGEPOINT_SQL (assigned below)
 def changepoint_event_scores_q(spark, sf_dir):
     """§3.3 changepoint_scores (learning.py:180-228): per-event OLS fit on
     the pre-window, val/test error measures + ranking ratio."""
@@ -1588,10 +1588,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(d, n_hashes=8, bands=4, threshold=0.5, n=3)
 
 
-@register("dedup_simhash")  # rows-only: pandas-UDF simhash (pytest-oracled)
+@register("dedup_simhash")  # oracle: plans/oracles.simhash_sql (assigned below)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs: 64-bit fingerprint, 4×16-bit pigeonhole
-    blocks, hamming verify with bit_count (operators/dedup.py)."""
+    """SimHash near-dup pairs: fully relational 64-bit fingerprint (JVM
+    md5 token halves + 64 bit-sum aggregate), 8×8-bit pigeonhole blocks,
+    hamming verify with bit_count (operators/dedup.py)."""
     from more_pattern_extraction_spark.operators import dedup as DD
 
     d = _docs_with_planted_dups(spark, sf_dir)
@@ -1658,7 +1659,7 @@ def embedding_topk(spark, sf_dir):
     return SS.cosine_topk(emb, q, k=3).select("query_id", "cand_id", "cos", "rank")
 
 
-@register("embedding_topk_lsh")  # rows-only: ANN recall pytest-verified
+@register("embedding_topk_lsh")  # oracle: plans/oracles.embedding_topk_lsh_sql (assigned below)
 def embedding_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-k (random hyperplane signs, same-bucket
     candidates) — the 100 TB scale path."""
@@ -1671,7 +1672,7 @@ def embedding_topk_lsh(spark, sf_dir):
     )
 
 
-@register("embedding_near_dups")  # rows-only (LSH-bucketed)
+@register("embedding_near_dups")  # oracle: plans/oracles.embedding_near_dups_sql (assigned below)
 def embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs above threshold; duplicates
     planted by re-inserting each vector under a shifted id (cos = 1.0
@@ -1769,7 +1770,7 @@ def bow_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_features")  # rows-only: codec is a deterministic fake
+@register("multimodal_features")  # oracle: byte-arithmetic SQL (assigned below)
 def multimodal_features(spark, sf_dir):
     """Binary payload → decode → mean-pool features via mapInPandas
     (operators/multimodal; real decoder is a set_decoder seam)."""
@@ -1783,7 +1784,7 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@register("multimodal_frames")  # rows-only
+@register("multimodal_frames")  # oracle: byte-arithmetic SQL (assigned below)
 def multimodal_frames(spark, sf_dir):
     """Frame sampling over binary payloads (one-to-many mapInPandas)."""
     from more_pattern_extraction_spark.operators import multimodal as MM
