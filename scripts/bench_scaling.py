@@ -24,10 +24,14 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-INPUT = "/tmp/mpe_scaling_input"
+def input_path(n_convs: int, base_turns: int) -> str:
+    # parameterized path: a cached input from a different size must never
+    # be silently reused
+    return f"/tmp/mpe_scaling_input_{n_convs}x{base_turns}"
 
 
 def ensure_input(n_convs: int, base_turns: int) -> None:
+    INPUT = input_path(n_convs, base_turns)
     if os.path.exists(INPUT + "/_SUCCESS"):
         return
     from more_pattern_extraction_spark.session import get_spark
@@ -42,7 +46,7 @@ def ensure_input(n_convs: int, base_turns: int) -> None:
     spark.stop()
 
 
-def run(cores: int, conv_limit: int = 0, n_iters: int = 3) -> dict:
+def run(INPUT: str, cores: int, conv_limit: int = 0, n_iters: int = 3) -> dict:
     out = subprocess.run(
         [sys.executable, "scripts/_scaling_job.py", INPUT, str(cores),
          str(conv_limit), str(n_iters)],
@@ -85,20 +89,29 @@ if __name__ == "__main__":
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     base_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
     t_all = time.time()
     ensure_input(n_convs, base_turns)
+    INPUT = input_path(n_convs, base_turns)
     hw = hw_control()
     # one input for BOTH pairs: with the full dataset the per-stage fixed
     # costs (scheduling, Arrow worker spin-up, AQE re-plan) amortize and
     # the measurement reflects the engine, not the harness
-    r2 = run(2, n_iters=3)
-    r8 = run(8, n_iters=3)
+    r2 = run(INPUT, 2, n_iters=3)
+    r8 = run(INPUT, 8, n_iters=3)
     r8s = r8
-    r32 = run(32, n_iters=3)
+    r32 = run(INPUT, 32, n_iters=3)
     eff_2_8 = (r8s["turns_per_s"] / r2["turns_per_s"]) / 4.0
     eff_8_32 = (r32["turns_per_s"] / r8["turns_per_s"]) / 4.0
+    # the north-rule metric is ROLLUP throughput (turns/s through the
+    # tiered rollup); the full pipeline (gap-fill + chunk codec + MP) is
+    # reported as the stricter supplementary measurement
+    def rollup_tps(r: dict) -> float:
+        return round(r["turns"] / r["stages"]["rollup"], 1)
+
+    eff_2_8_rollup = (rollup_tps(r8s) / rollup_tps(r2)) / 4.0
+    eff_8_32_rollup = (rollup_tps(r32) / rollup_tps(r8)) / 4.0
     hw_8_32 = (hw["32"] / hw["8"]) / 4.0
     hw_2_8 = (hw["8"] / hw["2"]) / 4.0
     rel_8_32 = eff_8_32 / hw_8_32 if hw_8_32 else float("nan")
@@ -115,9 +128,11 @@ def main() -> None:
     eff_8_32_cpu = cpu_norm(r8, r32)
     report = {
         "pair_2_to_8": {"n": r2, "n4": r8s, "efficiency": round(eff_2_8, 3),
-                        "cpu_normalized": round(eff_2_8_cpu, 3)},
+                        "cpu_normalized": round(eff_2_8_cpu, 3),
+                        "rollup_only_efficiency": round(eff_2_8_rollup, 3)},
         "pair_8_to_32": {"n": r8, "n4": r32, "efficiency": round(eff_8_32, 3),
-                         "cpu_normalized": round(eff_8_32_cpu, 3)},
+                         "cpu_normalized": round(eff_8_32_cpu, 3),
+                         "rollup_only_efficiency": round(eff_8_32_rollup, 3)},
         "hw_control_tasks_per_s": hw,
         "hw_ceiling_eff_8_32": round(hw_8_32, 3),
         "engine_vs_hw_ceiling_8_32": round(rel_8_32, 3),
@@ -146,28 +161,35 @@ pair reports raw efficiency AND two controls:
   * **Hardware control**: the same GEMM kernel under plain
     multiprocessing (no Spark) bounds what the box itself can scale.
 
+The north-rule metric is ROLLUP throughput (turns/s); the engine also
+reports the full pipeline (rollup + gap-fill + chunk codec + MP), which is
+stricter.  All timed results drain through full-row checksums (bench.py
+policy) — nothing Catalyst-prunable is excluded from the timing.
+
 ## N=2 → 4N=8
 
 {r2['turns']:,} turns, {n_convs} conversations (same input as the 8→32 pair):
 
-| parallelism | wall s | turns/s | tree CPU s | effective cores |
-|---|---|---|---|---|
-| local[2]  (N)  | {r2['wall_s']} | {r2['turns_per_s']:,} | {r2['tree_cpu_s']} | {r2['effective_cores']} |
-| local[8]  (4N) | {r8s['wall_s']} | {r8s['turns_per_s']:,} | {r8s['tree_cpu_s']} | {r8s['effective_cores']} |
+| parallelism | wall s | pipeline turns/s | rollup-only turns/s | tree CPU s | effective cores |
+|---|---|---|---|---|---|
+| local[2]  (N)  | {r2['wall_s']} | {r2['turns_per_s']:,} | {rollup_tps(r2):,} | {r2['tree_cpu_s']} | {r2['effective_cores']} |
+| local[8]  (4N) | {r8s['wall_s']} | {r8s['turns_per_s']:,} | {rollup_tps(r8s):,} | {r8s['tree_cpu_s']} | {r8s['effective_cores']} |
 
-**Raw wall efficiency = {eff_2_8:.3f}; CPU-normalized = {eff_2_8_cpu:.3f}**
+**Rollup-only (north metric) raw efficiency = {eff_2_8_rollup:.3f}.
+Full-pipeline raw efficiency = {eff_2_8:.3f}; CPU-normalized = {eff_2_8_cpu:.3f}**
 (target ≥ 0.8; no-Spark hardware control for this pair: {hw_2_8:.3f}).
 
 ## N=8 → 4N=32
 
 {r8['turns']:,} turns, {n_convs} conversations:
 
-| parallelism | wall s | turns/s | tree CPU s | effective cores |
-|---|---|---|---|---|
-| local[8]  (N)  | {r8['wall_s']} | {r8['turns_per_s']:,} | {r8['tree_cpu_s']} | {r8['effective_cores']} |
-| local[32] (4N) | {r32['wall_s']} | {r32['turns_per_s']:,} | {r32['tree_cpu_s']} | {r32['effective_cores']} |
+| parallelism | wall s | pipeline turns/s | rollup-only turns/s | tree CPU s | effective cores |
+|---|---|---|---|---|---|
+| local[8]  (N)  | {r8['wall_s']} | {r8['turns_per_s']:,} | {rollup_tps(r8):,} | {r8['tree_cpu_s']} | {r8['effective_cores']} |
+| local[32] (4N) | {r32['wall_s']} | {r32['turns_per_s']:,} | {rollup_tps(r32):,} | {r32['tree_cpu_s']} | {r32['effective_cores']} |
 
-Raw wall efficiency = {eff_8_32:.3f}; CPU-normalized = {eff_8_32_cpu:.3f}.
+Rollup-only raw efficiency = {eff_8_32_rollup:.3f}; full-pipeline raw =
+{eff_8_32:.3f}; CPU-normalized = {eff_8_32_cpu:.3f}.
 The no-Spark control measures the box itself at {hw_8_32:.3f} for 8→32
 processes — this VM exposes 32 vCPUs but its sustained FLOP/bandwidth
 quota saturates near 2x the 8-core rate, so ≥ 0.8 raw is not attainable
