@@ -40,9 +40,33 @@ MP_SCHEMA = "conv_id string, pos int, mp double, pi bigint"
 MDMP_SCHEMA = "conv_id string, k int, pos int, mp double, pi bigint"
 
 
+#: columns that break ties when ``order_col`` has duplicates (duplicate
+#: timestamps within one conversation).  The DuckDB oracles order by
+#: ``(ts, event_id)``; without the same tie-break the series order — and
+#: hence the profile and every downstream motif/knee pick — would be
+#: shuffle-nondeterministic.
+_TIE_BREAKERS = ("event_id", "turn_idx")
+
+
+def sort_series(pdf: pd.DataFrame, order_col: str) -> pd.DataFrame:
+    """Deterministically order a grouped-UDF series frame.
+
+    Sorts by ``order_col`` plus any present tie-break column; mergesort so
+    that even a tie-break-free frame keeps a stable (input-order) sort
+    rather than numpy's unstable introsort."""
+    keys = [order_col] + [
+        c for c in _TIE_BREAKERS if c in pdf.columns and c != order_col
+    ]
+    return pdf.sort_values(keys, kind="mergesort")
+
+
 def with_positions(grid: DataFrame, order_col: str = "bucket_start") -> DataFrame:
-    """Attach the 0-based grid position used as the MP coordinate system."""
-    w = Window.partitionBy("conv_id").orderBy(order_col)
+    """Attach the 0-based grid position used as the MP coordinate system.
+
+    Ties on ``order_col`` get the same ``(order_col, event_id/turn_idx)``
+    tie-break as :func:`sort_series` so positions are deterministic."""
+    keys = [order_col] + [c for c in _TIE_BREAKERS if c in grid.columns]
+    w = Window.partitionBy("conv_id").orderBy(*keys)
     return grid.withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
 
 
@@ -65,7 +89,7 @@ def matrix_profile(
     exact distributed path (matrix_profile_distributed)."""
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        pdf = sort_series(pdf, order_col)
         out_cols = {
             "conv_id": pd.Series(dtype="str"), "pos": pd.Series(dtype="int32"),
             "mp": pd.Series(dtype="float64"), "pi": pd.Series(dtype="int64"),
@@ -172,7 +196,7 @@ def subspace_columns(
     schema = "conv_id string, motif_pos int, nn_pos int, dim_rank int, dim string"
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        pdf = sort_series(pdf, order_col)
         ts = pdf[cols].to_numpy(dtype="float64", na_value=np.nan).T
         empty = pd.DataFrame(
             {c: pd.Series(dtype=t) for c, t in
@@ -215,7 +239,7 @@ def matrix_profile_multidim(
     cols = list(value_cols)
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        pdf = sort_series(pdf, order_col)
         ts = pdf[cols].to_numpy(dtype="float64", na_value=np.nan).T
         if ts.shape[1] < m:
             return pd.DataFrame(

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from more_pattern_extraction_spark.operators.matrix_profile import sort_series
 from more_pattern_extraction_spark.functions.kernels import (
     find_neighbors_kernel,
     stomp,
@@ -55,7 +56,7 @@ def top_k_motifs(
             complexity_av,
         )
 
-        pdf = pdf.sort_values(order_col)
+        pdf = sort_series(pdf, order_col)
         t = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
         rows = []
         if len(t) >= m:
@@ -124,7 +125,7 @@ def find_neighbors(
     q = np.asarray(query, dtype="float64")
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        pdf = sort_series(pdf, order_col)
         ts = pdf[cols].to_numpy(dtype="float64", na_value=np.nan)
         rows = []
         if len(ts) >= (q.shape[0] if q.ndim > 0 else len(q)):

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from more_pattern_extraction_spark.functions.kernels import stomp, top_k_motifs_kernel
+from more_pattern_extraction_spark.operators.matrix_profile import sort_series
 
 # genes: (m, radius, ez_frac, k)
 GENE_BOUNDS = {
@@ -47,7 +48,7 @@ def init_population(pop_size: int, rng: np.random.Generator) -> pd.DataFrame:
 
 def _coverage_udf(value_col: str, order_col: str):
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        pdf = sort_series(pdf, order_col)
         m = int(pdf["m"].iloc[0])
         radius = float(pdf["radius"].iloc[0])
         ez = max(1, int(m * float(pdf["ez_frac"].iloc[0])))
@@ -201,8 +202,10 @@ def _breed(
         elite = elite.astype(
             {"m": "int64", "radius": "float64", "ez_frac": "float64", "k": "int64"}
         ).drop_duplicates()
-    n_child = n - len(elite)
-    pool = _parent_pool(scored, rng, 2 * n_child, selection)
+    # elite (plus hall-of-fame) can reach n for tiny populations — clamp so
+    # the parent pool is never asked for a negative draw
+    n_child = max(0, n - len(elite))
+    pool = _parent_pool(scored, rng, 2 * n_child, selection) if n_child else None
     rows = []
     for c in range(n_child):
         p1, p2 = pool.iloc[2 * c], pool.iloc[2 * c + 1]

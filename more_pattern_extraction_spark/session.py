@@ -10,6 +10,7 @@ oracle (DuckDB timestamps are UTC-naive).
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 from pyspark.sql import SparkSession
 
@@ -62,18 +63,30 @@ def get_spark(
     return spark
 
 
-def drain_checksum(df) -> int:
-    """Force FULL evaluation of every output column and return a checksum.
+class DrainResult(NamedTuple):
+    """Result of a full-evaluation drain: row count + value checksum."""
+
+    rows: int
+    checksum: int
+
+    def __int__(self) -> int:  # legacy callers used the return as a count
+        return self.rows
+
+
+def drain_checksum(df) -> DrainResult:
+    """Force FULL evaluation of every output column; return (rows, checksum).
 
     ``df.count()`` lets Catalyst prune expressions that don't affect
     cardinality (aggregate values, window/interpolation columns), so a
     count-drained benchmark can under-bill the very computation being
     timed.  Hashing every column into one xxhash64 and summing makes each
-    value live; the reduction itself is one long per partition.
+    value live; the reduction itself is one long per partition.  The
+    checksum is also returned so runs can be compared value-level, not
+    just by cardinality.
     """
     from pyspark.sql import functions as F
 
     row = df.select(F.xxhash64(*df.columns).alias("h")).agg(
         F.sum("h").alias("checksum"), F.count(F.lit(1)).alias("rows")
     ).collect()[0]
-    return row.rows
+    return DrainResult(row.rows, row.checksum if row.checksum is not None else 0)

@@ -2,23 +2,135 @@
 1m rollup → gap-fill → chunk encode → weekly-windowed matrix profile) on a
 fixed parquet input at a given core count.  Fresh JVM per invocation
 (bench_scaling.py runs via subprocess) so the two cluster sizes share no
-state.  The timed pipeline runs 3x and reports the fastest iteration —
-the sandbox VM shows steal time, so single cold runs are noisy.
+state.
 
-Prints one JSON line: {"cores": N, "wall_s": ..., "turns": ..., ...}.
+Round-4 measurement hardening (VERDICT r03 "what's wrong" #1-#3):
+
+* **CPU affinity pinning**: the whole process tree (driver python, JVM —
+  including its GC/netty/AQE service threads — and every python worker)
+  is pinned to exactly ``cores`` CPUs via ``sched_setaffinity`` before the
+  JVM spawns.  ``local[N]`` alone only bounds *task slots*; JVM service
+  threads ride free on idle host cores, inflating the small-N baseline.
+  Pinning makes a leg a faithful model of an N-core executor, so raw
+  wall-clock efficiency is directly meaningful.
+* **Correct whole-tree CPU accounting**: the round-3 instrument read only
+  utime+stime from /proc once at job end, dropping cutime/cstime — python
+  workers reaped mid-run by the still-live JVM vanished from the ledger
+  (the 2-core legs ran 4x longer, idled workers out, and therefore
+  under-reported ~2.5x).  ``CpuMeter`` sums utime+stime+cutime+cstime over
+  the live descendant tree, samples it periodically from a daemon thread
+  (monotone max, so a subtree dying between samples can't lose time), and
+  exposes ``read()`` deltas so every stage gets its own CPU bill.
+* **Per-stage effective cores** let the harness apply the starved-leg
+  gate to EVERY leg (bench_scaling.py), not just the big one.
+
+The timed pipeline runs ``n_iters`` times and reports the fastest
+iteration — the sandbox VM shows steal time, so single cold runs are
+noisy.  Prints one JSON line.
+
+Usage: _scaling_job.py INPUT CORES [CONV_LIMIT] [N_ITERS] [MP_M] [STAGES]
+  STAGES = "all" (default) or "rollup" (north-rule metric only).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import resource
 import sys
+import threading
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F  # noqa: E402
 
-from more_pattern_extraction_spark.session import drain_checksum, get_spark  # noqa: E402
+class CpuMeter(threading.Thread):
+    """Monotone whole-process-tree CPU meter.
+
+    Each sample walks ``/proc`` and sums, over this process and every live
+    descendant, ``utime+stime`` (the process's own ticks) plus — for
+    descendants — ``cutime+cstime`` (stat fields 16-17: ticks of children
+    they already reaped; the JVM holds its dead python workers' time
+    here).  For this process itself the reaped-children ticks come from
+    ``getrusage(RUSAGE_CHILDREN)`` instead (same quantity, no double
+    count).  ``read()`` returns the max ever observed, so a subtree that
+    dies and is re-parented away between samples can only under-count by
+    one sampling interval, and the series is monotone by construction.
+    """
+
+    def __init__(self, interval: float = 0.5):
+        super().__init__(daemon=True)
+        self._interval = interval
+        self._lock = threading.Lock()
+        self._max = 0.0
+        self._clk = os.sysconf("SC_CLK_TCK")
+        self._stop = threading.Event()
+
+    def _tree_cpu(self) -> float:
+        me = os.getpid()
+        procs: dict[int, tuple[int, int, int]] = {}
+        for pid_s in filter(str.isdigit, os.listdir("/proc")):
+            try:
+                with open(f"/proc/{pid_s}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                procs[int(pid_s)] = (
+                    int(rest[1]),                      # ppid
+                    int(rest[11]) + int(rest[12]),     # utime+stime
+                    int(rest[13]) + int(rest[14]),     # cutime+cstime
+                )
+            except (OSError, IndexError, ValueError):
+                pass
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _, _) in procs.items():
+            children.setdefault(ppid, []).append(pid)
+        ticks, stack = 0, [me]
+        while stack:
+            p = stack.pop()
+            if p in procs:
+                ticks += procs[p][1]
+                if p != me:  # self's reaped children come from getrusage
+                    ticks += procs[p][2]
+            stack.extend(children.get(p, []))
+        ch = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return ticks / self._clk + ch.ru_utime + ch.ru_stime
+
+    def _update(self) -> float:
+        cur = self._tree_cpu()
+        with self._lock:
+            if cur > self._max:
+                self._max = cur
+            return self._max
+
+    def run(self) -> None:
+        while not self._stop.wait(self._interval):
+            self._update()
+
+    def read(self) -> float:
+        """Current monotone tree-CPU seconds (fresh sample + history max)."""
+        return self._update()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+def read_cpu_ticks(cpus: set[int]) -> tuple[float, float]:
+    """(steal_s, busy_s) accumulated on the given CPUs since boot
+    (/proc/stat per-cpu lines; steal = field 8).  Steal measured on the
+    pinned CPUs is the DIRECT starved-leg signal: the hypervisor withheld
+    those cycles from this guest, independent of what the engine did."""
+    clk = os.sysconf("SC_CLK_TCK")
+    steal = busy = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if not line.startswith("cpu") or line[3] in (" ", "\t"):
+                continue
+            parts = line.split()
+            if int(parts[0][3:]) not in cpus:
+                continue
+            vals = [int(x) for x in parts[1:]]
+            steal += vals[7] if len(vals) > 7 else 0
+            busy += vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+    return steal / clk, busy / clk
 
 
 def main() -> None:
@@ -27,6 +139,21 @@ def main() -> None:
     conv_limit = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     n_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     mp_m = int(sys.argv[5]) if len(sys.argv) > 5 else 120
+    stages_mode = sys.argv[6] if len(sys.argv) > 6 else "all"
+
+    # Pin BEFORE the JVM spawns: affinity is inherited by the whole tree
+    # (JVM, python workers), making this leg a true N-core node.
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except OSError:
+        pass
+    meter = CpuMeter()
+    meter.start()
+
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from more_pattern_extraction_spark.session import drain_checksum, get_spark
+
     # 8x cores shuffle partitions: grouped-UDF stages balance better when
     # tasks outnumber cores (390 MP windows in exactly `cores` tasks
     # straggle; AQE coalesces the excess for the relational stages)
@@ -47,98 +174,109 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    pinned = set(range(cores))
     best = None
+    t_timed0, cpu_timed0 = time.time(), meter.read()
+    steal0, busy0 = read_cpu_ticks(pinned)
     for it in range(n_iters):
-        stages = {}
+        t_iter0 = time.time()
+        stages: dict[str, float] = {}
+        stage_cpu: dict[str, float] = {}
         feats = R.turn_features(turns)
         r1m_plain = R.rollup_from_raw(feats, "1m")
         # rollup = the north-rule metric: time the operator itself (min of
-        # 3 consecutive checksum drains — the stage is ~10 s at 8 cores,
-        # so one-off job-submission/AQE costs would otherwise bill ~10%).
-        # The persist()/cache-fill for the downstream stages is NOT part
-        # of rollup throughput and is excluded (symmetrically, both legs).
-        rollup_times = []
+        # 3 consecutive checksum drains, so one-off job-submission/AQE
+        # costs don't bill the stage).  Each drain also gets its CPU bill.
+        rollup_times, rollup_cpus = [], []
+        n_rollup_rows = 0
         for _ in range(3):
-            tr = time.time()
-            drain_checksum(r1m_plain)
+            tr, cr = time.time(), meter.read()
+            n_rollup_rows = drain_checksum(r1m_plain).rows
             rollup_times.append(time.time() - tr)
-        stages["rollup"] = round(min(rollup_times), 2)
-        r1m = r1m_plain.persist()
-        drain_checksum(r1m)  # cache fill (untimed, symmetric across legs)
+            rollup_cpus.append(meter.read() - cr)
+        k_min = min(range(3), key=lambda i: rollup_times[i])
+        stages["rollup"] = round(rollup_times[k_min], 2)
+        stage_cpu["rollup"] = round(rollup_cpus[k_min], 1)
 
-        t1 = time.time()
-        filled = G.gap_fill_rollup(r1m, "1m").persist()
-        n_filled = drain_checksum(filled)
-        stages["gapfill"] = round(time.time() - t1, 2)
+        n_filled = n_chunks = n_mp = 0
+        if stages_mode == "all":
+            r1m = r1m_plain.persist()
+            drain_checksum(r1m)  # cache fill (untimed, symmetric across legs)
 
-        t1 = time.time()
-        n_chunks = drain_checksum(
-            CH.encode_chunks(r1m, ["latency_avg", "latency_sum"], "1m")
-        )
-        stages["chunks"] = round(time.time() - t1, 2)
+            t1, c1 = time.time(), meter.read()
+            filled = G.gap_fill_rollup(r1m, "1m").persist()
+            n_filled = drain_checksum(filled).rows
+            stages["gapfill"] = round(time.time() - t1, 2)
+            stage_cpu["gapfill"] = round(meter.read() - c1, 1)
 
-        t1 = time.time()
-        grid = filled.select(
-            "conv_id", "bucket_start",
-            F.coalesce("latency_avg_filled", "latency_avg_locf", F.lit(0.0)).alias(
-                "latency_avg_filled"
-            ),
-        )
-        # windowed MP (per conv per week, m = 2h on the 1m grid): bounded
-        # tasks even for Zipf-hot conversations — the skew-safe production
-        # shape (same workload shape as the reference's m=1-day profile)
-        n_mp = drain_checksum(MP.matrix_profile(grid, mp_m, window="week"))
-        stages["matrix_profile"] = round(time.time() - t1, 2)
-        # pipeline wall = sum of stage times (rollup counted once, at its
-        # min; the repeat drains and the cache fill are excluded)
-        wall = sum(stages.values())
-        r1m.unpersist()
-        filled.unpersist()
+            t1, c1 = time.time(), meter.read()
+            n_chunks = drain_checksum(
+                CH.encode_chunks(r1m, ["latency_avg", "latency_sum"], "1m")
+            ).rows
+            stages["chunks"] = round(time.time() - t1, 2)
+            stage_cpu["chunks"] = round(meter.read() - c1, 1)
+
+            t1, c1 = time.time(), meter.read()
+            grid = filled.select(
+                "conv_id", "bucket_start",
+                F.coalesce(
+                    "latency_avg_filled", "latency_avg_locf", F.lit(0.0)
+                ).alias("latency_avg_filled"),
+            )
+            # windowed MP (per conv per week, m = 2h on the 1m grid):
+            # bounded tasks even for Zipf-hot conversations — the
+            # skew-safe production shape (same workload shape as the
+            # reference's m=1-day profile)
+            n_mp = drain_checksum(MP.matrix_profile(grid, mp_m, window="week")).rows
+            stages["matrix_profile"] = round(time.time() - t1, 2)
+            stage_cpu["matrix_profile"] = round(meter.read() - c1, 1)
+            r1m.unpersist()
+            filled.unpersist()
+
+        # stage_sum_s = sum of stage times (rollup counted once, at its
+        # min; the repeat drains and the cache fill are excluded) — NOT an
+        # elapsed wall clock; iter_wall_s is the true elapsed time of this
+        # iteration including the excluded repeats/cache fills.
+        stage_sum = sum(stages.values())
         rec = {
-            "cores": cores, "wall_s": round(wall, 2), "turns": n_turns,
+            "cores": cores, "stage_sum_s": round(stage_sum, 2),
+            "iter_wall_s": round(time.time() - t_iter0, 2),
+            "turns": n_turns, "rollup_rows": n_rollup_rows,
             "rows_filled": n_filled, "chunks": n_chunks, "mp_rows": n_mp,
-            "stages": stages, "turns_per_s": round(n_turns / wall, 1),
+            "stages": stages, "stage_cpu_s": stage_cpu,
+            "stage_eff_cores": {
+                k: round(stage_cpu[k] / stages[k], 2) if stages[k] else None
+                for k in stages
+            },
+            "turns_per_s": round(n_turns / stage_sum, 1),
+            "rollup_turns_per_s": round(n_turns / stages["rollup"], 1),
             "iteration": it,
         }
         print(json.dumps(rec), file=sys.stderr)
-        if best is None or rec["wall_s"] < best["wall_s"]:
+        if best is None or rec["stage_sum_s"] < best["stage_sum_s"]:
             best = rec
 
-    # whole-tree CPU accounting BEFORE stop(): getrusage(RUSAGE_CHILDREN)
-    # only sees reaped children, which misses the still-running JVM and
-    # python workers entirely — walk /proc for the live descendant tree
-    def tree_cpu_seconds() -> float:
-        import os
-
-        clk = os.sysconf("SC_CLK_TCK")
-        procs: dict[int, tuple[int, int]] = {}
-        for pid in filter(str.isdigit, os.listdir("/proc")):
-            try:
-                with open(f"/proc/{pid}/stat") as f:
-                    rest = f.read().rsplit(")", 1)[1].split()
-                procs[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
-            except (OSError, IndexError, ValueError):
-                pass
-        children: dict[int, list[int]] = {}
-        for pid, (ppid, _) in procs.items():
-            children.setdefault(ppid, []).append(pid)
-        total, stack = 0, [os.getpid()]
-        while stack:
-            p = stack.pop()
-            if p in procs:
-                total += procs[p][1]
-            stack.extend(children.get(p, []))
-        import resource
-
-        ch = resource.getrusage(resource.RUSAGE_CHILDREN)  # already-reaped workers
-        return total / clk + ch.ru_utime + ch.ru_stime
-
-    tree_cpu = tree_cpu_seconds()
+    timed_wall = time.time() - t_timed0
+    timed_cpu = meter.read() - cpu_timed0
+    steal1, busy1 = read_cpu_ticks(pinned)
+    tree_cpu = meter.read()
     job_wall = time.time() - t_job0
     spark.stop()
+    meter.stop()
     best["tree_cpu_s"] = round(tree_cpu, 1)
     best["job_wall_s"] = round(job_wall, 1)
-    best["effective_cores"] = round(tree_cpu / job_wall, 2)
+    # effective cores over the TIMED region only (excludes input warm-up
+    # and JVM start, where cores legitimately idle) — this is the number
+    # the starved-leg gate checks on every leg
+    best["timed_wall_s"] = round(timed_wall, 1)
+    best["timed_cpu_s"] = round(timed_cpu, 1)
+    best["effective_cores"] = round(timed_cpu / timed_wall, 2)
+    # hypervisor steal on the pinned CPUs during the timed region — the
+    # direct starved-leg gate (engine-independent, unlike effective_cores
+    # which also dips on legitimate scheduling gaps)
+    best["steal_s"] = round(steal1 - steal0, 1)
+    best["steal_frac"] = round((steal1 - steal0) / (cores * timed_wall), 3)
+    best["pinned_busy_s"] = round(busy1 - busy0, 1)
     print(json.dumps(best))
 
 
