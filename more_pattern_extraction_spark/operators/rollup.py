@@ -12,7 +12,10 @@ order is the only float hazard; counts and mins/maxes are exact).
 ``latency_p95`` is tier-local: exact ``percentile`` over raw latencies at
 the finest tier, and over the finer tier's bucket averages at coarser
 tiers (documented downsample semantic — percentiles are not mergeable
-without a sketch; a t-digest column is the upgrade path).
+without a sketch).  For a true-tier p95 that merges up the cascade, use
+the log-histogram sketch column (``operators/sketch.py``:
+``sketch_from_raw`` → ``sketch_cascade`` → ``sketch_quantile`` /
+``attach_sketch_p95``, relative error ≤ ~2.2 %).
 
 Scale notes:
   * The groupBy shuffles on ``(conv_id, bucket)`` — high cardinality, no

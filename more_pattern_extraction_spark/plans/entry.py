@@ -195,6 +195,55 @@ def rollup_p95(spark, sf_dir):
     )
 
 
+@register(
+    "rollup_p95_cascade",
+    """
+    WITH b AS (
+      SELECT user_id AS conv_key, date_trunc('hour', ts) AS bucket_start,
+             CASE WHEN value <= 0.001 THEN 0
+                  ELSE least(511, 1 + CAST(floor(log2(value / 0.001) * 16) AS INT))
+             END AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT conv_key, bucket_start, bin, cnt,
+             sum(cnt) OVER (PARTITION BY conv_key, bucket_start ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY conv_key, bucket_start) AS total
+      FROM b
+    )
+    SELECT conv_key, bucket_start,
+           CAST(max(total) AS BIGINT) AS latency_cnt,
+           round(min(CASE WHEN bin = 0 THEN 0.001
+                          ELSE 0.001 * power(2.0, (bin - 0.5) / 16.0) END), 6)
+             AS latency_p95_sketch
+    FROM t
+    WHERE cum >= greatest(1, ceil(0.95 * total))
+    GROUP BY 1, 2
+    """,
+)
+def rollup_p95_cascade(spark, sf_dir):
+    """Mergeable true-tier p95 via the log-histogram sketch
+    (operators/sketch.py, VERDICT r03 #4): 1m sketches from raw, MERGED
+    to the 1h tier (no raw rescan — the 100 TB path), quantile from the
+    merged sketch.  The oracle re-derives the identical binning/fold in
+    SQL, so this row is value-level (reference analogue: quantile
+    thresholding A11, underperformance_estimator.py:41)."""
+    from more_pattern_extraction_spark.operators import sketch as SK
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"), "ts", F.col("value").alias("latency")
+    )
+    sk1h = SK.sketch_cascade(SK.sketch_from_raw(ev, "1m"), "1h")
+    out = SK.sketch_quantile(sk1h, 0.95)
+    return out.select(
+        F.col("conv_id").cast("bigint").alias("conv_key"),
+        "bucket_start",
+        F.col("latency_cnt_sketch").alias("latency_cnt"),
+        F.round("latency_p95_sketch", 6).alias("latency_p95_sketch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P2-P7 — filters/projections (preprocessing.py:46-168)
 # ---------------------------------------------------------------------------
