@@ -71,6 +71,71 @@ def test_matrix_profile_distributed_equals_grouped(spark, planted):
             np.testing.assert_allclose(np.linalg.norm(az - bz), row.mp, rtol=1e-6)
 
 
+def test_matrix_profile_distributed_banded_equals_full_when_h_covers(spark, planted):
+    """H >= n/S must be bit-equal to the unbanded path (same pair set)."""
+    df, arrays = planted
+    m = 24
+    full = (
+        MP.matrix_profile_distributed(df, m, chunk_size=100)
+        .orderBy("conv_id", "pos")
+        .toPandas()
+    )
+    banded = (
+        MP.matrix_profile_distributed(df, m, chunk_size=100, max_horizon_chunks=4)
+        .orderBy("conv_id", "pos")
+        .toPandas()
+    )
+    assert len(full) == len(banded)
+    np.testing.assert_array_equal(banded["mp"].values, full["mp"].values)
+    np.testing.assert_array_equal(banded["pi"].values, full["pi"].values)
+
+
+def test_matrix_profile_banded_horizon_semantics(spark, planted):
+    """With a tight horizon the profile is a pointwise UPPER bound of the
+    full profile, exact wherever the true neighbor lies within H·S."""
+    df, arrays = planted
+    m, S, H = 24, 100, 1
+    full = (
+        MP.matrix_profile_distributed(df, m, chunk_size=S)
+        .orderBy("conv_id", "pos")
+        .toPandas()
+    )
+    banded = (
+        MP.matrix_profile_distributed(df, m, chunk_size=S, max_horizon_chunks=H)
+        .orderBy("conv_id", "pos")
+        .toPandas()
+    )
+    assert len(full) == len(banded)
+    assert (banded["mp"].values >= full["mp"].values - 1e-12).all()
+    # wherever the true nearest neighbor is within the horizon band
+    # (same or adjacent chunk), the banded result is exact
+    near = (full["pi"].values // S - full["pos"].values // S) <= H
+    near &= (full["pos"].values // S - full["pi"].values // S) <= H
+    np.testing.assert_allclose(
+        banded["mp"].values[near], full["mp"].values[near], rtol=1e-12
+    )
+    # banded neighbor indices always stay inside the horizon
+    ok = banded["pi"].values >= 0
+    assert (
+        np.abs(banded["pi"].values[ok] // S - banded["pos"].values[ok] // S) <= H
+    ).all()
+
+
+def test_chunk_pairs_fanout_is_linear_in_horizon(spark):
+    """The pair fan-out must be O(C·H), not O(C²): count the planned
+    pairs directly on a long-conversation chunk table."""
+    C, H = 40, 3
+    chunk_ids = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "long", "chunk": np.arange(C)})
+    )
+    n_banded = MP.chunk_pairs(chunk_ids, H).count()
+    n_full = MP.chunk_pairs(chunk_ids, None).count()
+    # closed forms: full = C(C+1)/2; banded = C·(H+1) − H(H+1)/2
+    assert n_full == C * (C + 1) // 2
+    assert n_banded == C * (H + 1) - H * (H + 1) // 2
+    assert n_banded < n_full / 4
+
+
 def test_matrix_profile_multidim(spark):
     rng = np.random.default_rng(12)
     n = 250
