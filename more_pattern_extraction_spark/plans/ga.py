@@ -252,3 +252,43 @@ def run_ga(
             hof = gen_best
         pop = _breed(scored, rng, hof, selection, crossover)
     return best.reset_index(drop=True)
+
+
+def grid_search(
+    grid: DataFrame,
+    labels_mask: DataFrame,
+    param_grid: dict[str, list],
+    value_col: str = "latency_avg_filled",
+    order_col: str = "bucket_start",
+) -> pd.DataFrame:
+    """GridSearchCV-style exhaustive parameter sweep (the reference's
+    ``GridSearchCV(n_jobs=-1)`` family, ``notebooks/
+    underperformance_detection.ipynb`` cell 13 / SURVEY §4 "grid sweeps
+    as nested Python loops"): the full cartesian product of ``param_grid``
+    becomes ONE parameter DataFrame fanned out through the same
+    (conversation × individual) grouped-UDF job as a GA generation — one
+    Spark job evaluates every combination shuffle-parallel, instead of
+    the reference's serial joblib loop.
+
+    ``param_grid`` keys must be the GA genes (m, radius, ez_frac, k);
+    omitted genes take their lower bound.  Returns every combination
+    scored, best-first, deterministic (no randomness anywhere).
+    """
+    import itertools
+
+    keys = list(param_grid)
+    unknown = set(keys) - set(_GENES)
+    if unknown:
+        raise ValueError(f"unknown parameters {sorted(unknown)}; genes: {_GENES}")
+    combos = list(itertools.product(*(param_grid[k] for k in keys)))
+    pop = pd.DataFrame(combos, columns=keys)
+    for g in _GENES:
+        if g not in pop.columns:
+            pop[g] = GENE_BOUNDS[g][0]
+    pop = pop.astype({"m": "int64", "radius": "float64",
+                      "ez_frac": "float64", "k": "int64"})
+    pop.insert(0, "indiv", range(len(pop)))
+    scored = evaluate_generation(grid, labels_mask, pop, value_col, order_col)
+    return scored.sort_values(
+        ["f1", "indiv"], ascending=[False, True]
+    ).reset_index(drop=True)

@@ -14,6 +14,8 @@ Usage: python scripts/check_oracles.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -123,6 +125,7 @@ def main():
 
     qs, os_ = entry.queries(), entry.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -131,28 +134,53 @@ def main():
             got = fn(spark, sf_dir).toArrow()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            results[name] = {"status": "fail", "errors": [f"spark error: {ex}"]}
             n_fail += 1
             continue
         if name not in os_:
             print(f"ROWS {name}: {got.num_rows} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "spark_rows": got.num_rows}
             n_rows_only += 1
             continue
         try:
             exp = con.execute(os_[name]).arrow()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            results[name] = {"status": "fail", "errors": [f"duckdb error: {ex}"]}
             n_fail += 1
             continue
         errs = compare(name, got, exp)
+        secs = round(time.time() - t0, 1)
         if errs:
-            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            print(f"FAIL {name} [{secs}s]")
             for e in errs[:4]:
                 print(f"     {e}")
+            results[name] = {"status": "fail", "spark_rows": got.num_rows,
+                             "oracle_rows": exp.num_rows, "secs": secs,
+                             "errors": errs[:4]}
             n_fail += 1
         else:
-            print(f"PASS {name}: {got.num_rows} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {got.num_rows} rows [{secs}s]")
+            results[name] = {"status": "pass", "spark_rows": got.num_rows,
+                             "oracle_rows": exp.num_rows, "secs": secs}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    # full-run verification artifact (ADVICE r03: the in-repo proof that
+    # EVERY registered query was value-verified at this HEAD, not just
+    # the driver's 50-query window)
+    json_out = os.environ.get("MPE_ORACLE_JSON")
+    if json_out:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd="/root/repo",
+        ).stdout.strip()
+        with open(json_out, "w") as f:
+            json.dump({"git_head": head, "sf_dir": sf_dir,
+                       "summary": {"pass": n_pass, "fail": n_fail,
+                                   "rows_only": n_rows_only},
+                       "queries": results}, f, indent=1)
     spark.stop()
     sys.exit(1 if n_fail else 0)
 

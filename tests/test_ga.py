@@ -98,3 +98,28 @@ def test_crossover_masks_shapes(spark):
             if strat == "two_points":
                 # True outside [a, b), False inside — at most 2 transitions
                 assert mask[0] and np.abs(np.diff(mask.astype(int))).sum() <= 2
+
+
+def test_grid_search_exhaustive_and_deterministic(spark, planted_grid):
+    """grid_search evaluates the FULL cartesian product in one fan-out job
+    and is deterministic; its best must match or beat any single combo."""
+    grid, mask = planted_grid
+    pg = {"m": [16, 24], "radius": [2.0, 3.0], "ez_frac": [0.5]}
+    out1 = GA.grid_search(grid, mask, pg)
+    out2 = GA.grid_search(grid, mask, pg)
+    pd.testing.assert_frame_equal(out1, out2)
+    assert len(out1) == 4  # 2 x 2 x 1 combos, every one scored
+    assert set(out1.columns) >= {"m", "radius", "ez_frac", "k", "f1"}
+    assert (out1.f1.values[:-1] >= out1.f1.values[1:]).all()  # best-first
+    # the m=24 combos should recover the planted 24-wide motifs well
+    assert out1[out1.m == 24].f1.max() > 0.3
+    # a single-combo sweep equals that combo's row in the full sweep
+    solo = GA.grid_search(grid, mask, {"m": [24], "radius": [3.0], "ez_frac": [0.5]})
+    full_row = out1[(out1.m == 24) & (out1.radius == 3.0)].iloc[0]
+    assert abs(solo.iloc[0].f1 - full_row.f1) < 1e-12
+
+
+def test_grid_search_rejects_unknown_param(spark, planted_grid):
+    grid, mask = planted_grid
+    with pytest.raises(ValueError, match="unknown parameters"):
+        GA.grid_search(grid, mask, {"not_a_gene": [1]})
