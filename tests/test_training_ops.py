@@ -237,3 +237,38 @@ def test_multimodal_features_and_frames(spark, docs):
     n0 = len(txt)
     expected = int(np.ceil(np.ceil(n0 / 64) / 2))
     assert frames.set_index("doc_id").loc[0, "count"] == expected
+
+
+def test_multimodal_real_decoder_via_pil(spark):
+    """Real-decoder integration (VERDICT r03 #8): when PIL is available,
+    set_decoder installs an actual PNG decoder and the mapInPandas
+    pipeline must reproduce PIL's own decode (dims + pooled features).
+    Skipped where the container has no imaging library; the fake-codec
+    tests above cover the plumbing there."""
+    pytest.importorskip("PIL")
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    MM.set_decoder(lambda b: np.asarray(Image.open(_io.BytesIO(b)).convert("L")))
+    try:
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload))], "doc_id long, modality string, payload binary"
+        )
+        out = MM.extract_features(media, pool_bins=4).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.width, r.height) == (9, 12)
+        flat = img.astype("float64").ravel()
+        idx = np.linspace(0, len(flat), 5).astype(int)
+        expect = [float(flat[a:b].mean()) for a, b in zip(idx[:-1], idx[1:])]
+        assert np.allclose(r.features, expect)
+    finally:
+        MM.set_decoder(None)  # restore the fake default
