@@ -74,6 +74,15 @@ def main() -> None:
             CH.encode_chunks(r1m, ["latency_avg", "latency_sum"], "1m")
         )),
     )
+    # A1+: mergeable p95 sketch, built at 1m and merged up to 1d (round 4)
+    from more_pattern_extraction_spark.operators import sketch as SK
+
+    bench(
+        "rollup_p95_sketch",
+        lambda: drain_checksum(SK.sketch_quantile(
+            SK.sketch_cascade(SK.sketch_cascade(SK.sketch_from_raw(feats, "1m"), "1h"), "1d")
+        ).drop("latency_sketch")),
+    )
     # W1: matrix profile per conversation (grouped STOMP kernel)
     series = turns.select(
         "conv_id", F.col("ts").alias("bucket_start"),
