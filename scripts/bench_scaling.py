@@ -93,6 +93,28 @@ def leg_valid(r: dict) -> tuple[bool, list[str]]:
     return (not reasons), reasons
 
 
+def _wait_for_quiet_box(max_wait: float = 120.0, quiet_cores: float = 0.5) -> None:
+    """Block until system-wide busy CPU drops below ``quiet_cores``.
+
+    A leg's JVM runs its shutdown hooks (deleting shuffle/spill temp
+    dirs) AFTER the leg's python exits, so back-to-back legs overlap the
+    previous JVM's cleanup — which the next leg's gate then correctly
+    flags as external busy.  Waiting for the box to go quiet between
+    attempts removes the overlap instead of burning a retry."""
+    t0 = time.time()
+    def busy() -> float:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return (v[0] + v[1] + v[2] + v[5] + v[6]) / os.sysconf("SC_CLK_TCK")
+    prev = busy()
+    while time.time() - t0 < max_wait:
+        time.sleep(3.0)
+        cur = busy()
+        if (cur - prev) / 3.0 < quiet_cores:
+            return
+        prev = cur
+
+
 def run(INPUT: str, cores: int, conv_limit: int = 0, n_iters: int = 3,
         mp_m: int = 120, stages: str = "all", timeout: int = 4800) -> dict:
     """Run one leg, re-running up to MAX_ATTEMPTS if the gate trips.
@@ -101,6 +123,7 @@ def run(INPUT: str, cores: int, conv_limit: int = 0, n_iters: int = 3,
     ``_attempts``."""
     attempts = []
     for att in range(MAX_ATTEMPTS):
+        _wait_for_quiet_box()
         out = subprocess.run(
             [sys.executable, "scripts/_scaling_job.py", INPUT, str(cores),
              str(conv_limit), str(n_iters), str(mp_m), stages],
