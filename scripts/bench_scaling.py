@@ -142,7 +142,11 @@ def run(INPUT: str, cores: int, conv_limit: int = 0, n_iters: int = 3,
     best["_attempts"] = [
         {k: a.get(k) for k in ("attempt", "gate_ok", "gate_reasons",
                                "effective_cores", "steal_frac",
-                               "external_busy_frac", "stage_sum_s")}
+                               "external_busy_frac", "stage_sum_s",
+                               "timed_wall_s", "timed_cpu_s",
+                               "pinned_busy_s", "stages",
+                               "stage_eff_cores", "turns_per_s",
+                               "rollup_turns_per_s")}
         for a in attempts
     ]
     return best
