@@ -45,69 +45,76 @@ sys.path.insert(0, "/root/repo")
 
 
 class CpuMeter(threading.Thread):
-    """Monotone whole-process-tree CPU meter.
+    """Monotone whole-process-tree CPU meter, per-PID accounted.
 
-    Each sample walks ``/proc`` and sums, over this process and every live
-    descendant, ``utime+stime`` (the process's own ticks) plus — for
-    descendants — ``cutime+cstime`` (stat fields 16-17: ticks of children
-    they already reaped; the JVM holds its dead python workers' time
-    here).  For this process itself the reaped-children ticks come from
-    ``getrusage(RUSAGE_CHILDREN)`` instead (same quantity, no double
-    count).  ``read()`` returns the max ever observed, so a subtree that
-    dies and is re-parented away between samples can only under-count by
-    one sampling interval, and the series is monotone by construction.
+    Why not "sum the live tree + cutime of reapers": pyspark's worker
+    daemon sets SIGCHLD to SIG_IGN, so dead python workers are
+    auto-reaped and their CPU time is DISCARDED by the kernel (never
+    folded into anyone's cutime).  A tree-sum meter therefore *drops*
+    hundreds of CPU-seconds whenever a UDF worker exits, and a
+    monotone-max wrapper around it silently mis-attributes the next
+    minutes of real work to "catching up" (observed in the round-4
+    execution-1 full-pipeline legs: stages at 98% CPU billed 0.09
+    effective cores).
+
+    Instead: sample every ``interval`` seconds; for every pid in this
+    process's descendant tree record the max ``utime+stime`` ever seen
+    (plus, for this process itself, its own rusage).  ``read()`` = sum
+    over every pid EVER seen — a dead worker keeps its last observed
+    ticks, cutime is never used (so no double count), and the result is
+    monotone by construction.  A pid whose counter goes backwards (pid
+    reuse) banks the old value in a graveyard and restarts.  Undercount
+    is bounded by one sampling interval per process death.
     """
 
-    def __init__(self, interval: float = 0.5):
+    def __init__(self, interval: float = 0.25):
         super().__init__(daemon=True)
         self._interval = interval
         self._lock = threading.Lock()
-        self._max = 0.0
+        self._last: dict[int, int] = {}
+        self._graveyard = 0
         self._clk = os.sysconf("SC_CLK_TCK")
         self._stop = threading.Event()
 
-    def _tree_cpu(self) -> float:
+    def _sample(self) -> float:
         me = os.getpid()
-        procs: dict[int, tuple[int, int, int]] = {}
+        procs: dict[int, tuple[int, int]] = {}
         for pid_s in filter(str.isdigit, os.listdir("/proc")):
             try:
                 with open(f"/proc/{pid_s}/stat") as f:
                     rest = f.read().rsplit(")", 1)[1].split()
-                procs[int(pid_s)] = (
-                    int(rest[1]),                      # ppid
-                    int(rest[11]) + int(rest[12]),     # utime+stime
-                    int(rest[13]) + int(rest[14]),     # cutime+cstime
-                )
+                procs[int(pid_s)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
             except (OSError, IndexError, ValueError):
                 pass
         children: dict[int, list[int]] = {}
-        for pid, (ppid, _, _) in procs.items():
+        for pid, (ppid, _) in procs.items():
             children.setdefault(ppid, []).append(pid)
-        ticks, stack = 0, [me]
-        while stack:
-            p = stack.pop()
-            if p in procs:
-                ticks += procs[p][1]
-                if p != me:  # self's reaped children come from getrusage
-                    ticks += procs[p][2]
-            stack.extend(children.get(p, []))
-        ch = resource.getrusage(resource.RUSAGE_CHILDREN)
-        return ticks / self._clk + ch.ru_utime + ch.ru_stime
-
-    def _update(self) -> float:
-        cur = self._tree_cpu()
         with self._lock:
-            if cur > self._max:
-                self._max = cur
-            return self._max
+            stack = [me]
+            while stack:
+                p = stack.pop()
+                if p in procs:
+                    cur = procs[p][1]
+                    prev = self._last.get(p, 0)
+                    if cur < prev:  # pid reuse: bank the dead one's ticks
+                        self._graveyard += prev
+                        self._last[p] = cur
+                    else:
+                        self._last[p] = cur
+                stack.extend(children.get(p, []))
+            total = self._graveyard + sum(self._last.values())
+        # own already-reaped direct children (JVM after spark.stop) —
+        # their pids may never have been sampled if short-lived
+        ch = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return total / self._clk + ch.ru_utime + ch.ru_stime
 
     def run(self) -> None:
         while not self._stop.wait(self._interval):
-            self._update()
+            self._sample()
 
     def read(self) -> float:
-        """Current monotone tree-CPU seconds (fresh sample + history max)."""
-        return self._update()
+        """Current monotone tree-CPU seconds (fresh sample included)."""
+        return self._sample()
 
     def stop(self) -> None:
         self._stop.set()

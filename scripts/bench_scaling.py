@@ -33,7 +33,7 @@ Two N→4N pairs are measured plus a no-Spark hardware control:
 
 Usage: python scripts/bench_scaling.py [n_convs] [base_turns]
                                        [north_convs] [north_base]
-       (defaults 600 10000 2000 20000)
+       (defaults 600 10000 4000 20000; north input generated with gap_max_s=20)
 """
 
 from __future__ import annotations
@@ -52,14 +52,15 @@ EFF_CORES_GATE = 0.70    # timed-region effective cores < 0.7×N → suspect
 MAX_ATTEMPTS = 3
 
 
-def input_path(n_convs: int, base_turns: int) -> str:
-    # parameterized path: a cached input from a different size must never
-    # be silently reused
-    return f"/tmp/mpe_scaling_input_{n_convs}x{base_turns}"
+def input_path(n_convs: int, base_turns: int, gap_max_s: int = 120) -> str:
+    # parameterized path: a cached input from a different size/shape must
+    # never be silently reused
+    suffix = "" if gap_max_s == 120 else f"_g{gap_max_s}"
+    return f"/tmp/mpe_scaling_input_{n_convs}x{base_turns}{suffix}"
 
 
-def ensure_input(n_convs: int, base_turns: int) -> None:
-    INPUT = input_path(n_convs, base_turns)
+def ensure_input(n_convs: int, base_turns: int, gap_max_s: int = 120) -> None:
+    INPUT = input_path(n_convs, base_turns, gap_max_s)
     if os.path.exists(INPUT + "/_SUCCESS"):
         return
     from more_pattern_extraction_spark.session import get_spark
@@ -68,7 +69,7 @@ def ensure_input(n_convs: int, base_turns: int) -> None:
     spark = get_spark("gen_scaling_input", cores=32)
     df = generate_transcripts(
         spark, n_convs=n_convs, base_turns=base_turns, hot_convs=2, hot_mult=5,
-        gap_max_s=120, long_gaps=False,
+        gap_max_s=gap_max_s, long_gaps=False,
     )
     df.repartition(64, "conv_id").write.mode("overwrite").parquet(INPUT)
     spark.stop()
@@ -122,12 +123,20 @@ def run(INPUT: str, cores: int, conv_limit: int = 0, n_iters: int = 3,
     ``starved`` if none pass); all attempts ride along in
     ``_attempts``."""
     attempts = []
+    # per-core-CONSTANT memory (2 GB/core): a real 4N-executor cluster has
+    # 4N x the memory of N executors; one fixed heap shared by every
+    # parallelism level makes per-task memory shrink as cores grow, which
+    # spills/amplifies CPU on the big leg and would bill the engine for a
+    # harness artifact (observed: identical rollup work cost 247 CPU-s at
+    # 2 cores but 483 at 8 under a shared 8g heap).
+    env = dict(os.environ, MPE_DRIVER_MEM=f"{max(4, 2 * cores)}g")
     for att in range(MAX_ATTEMPTS):
         _wait_for_quiet_box()
         out = subprocess.run(
             [sys.executable, "scripts/_scaling_job.py", INPUT, str(cores),
              str(conv_limit), str(n_iters), str(mp_m), stages],
             capture_output=True, text=True, cwd="/root/repo", timeout=timeout,
+            env=env,
         )
         r = json.loads(out.stdout.strip().splitlines()[-1])
         ok, reasons = leg_valid(r)
@@ -196,12 +205,17 @@ def pair_metrics(n: dict, n4: dict, tps_key: str) -> dict:
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     base_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
-    north_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    north_convs = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
     north_base = int(sys.argv[4]) if len(sys.argv) > 4 else 20000
+    # north input is DENSE (mean inter-turn gap ~12 s → ~5 turns per 1m
+    # bucket): a rollup benchmark where buckets hold single turns is a
+    # degenerate pure-shuffle shape; real transcripts aggregate.
+    north_gap = 20
     t_all = time.time()
     ensure_input(n_convs, base_turns)
-    ensure_input(north_convs, north_base)
-    FULL, NORTH = input_path(n_convs, base_turns), input_path(north_convs, north_base)
+    ensure_input(north_convs, north_base, north_gap)
+    FULL = input_path(n_convs, base_turns)
+    NORTH = input_path(north_convs, north_base, north_gap)
     hw = hw_control()
 
     # ---- north-rule metric: rollup-only on the large input (rollup stage
