@@ -86,11 +86,20 @@ def leg_valid(r: dict) -> tuple[bool, list[str]]:
     r["external_busy_frac"] = round(max(ext_frac, 0.0), 3)
     if ext_frac > EXTERNAL_GATE:
         reasons.append(f"external_busy_frac {ext_frac:.3f} > {EXTERNAL_GATE}")
-    if r.get("effective_cores", 0.0) < EFF_CORES_GATE * r["cores"]:
+    low_eff = r.get("effective_cores", 0.0) < EFF_CORES_GATE * r["cores"]
+    if low_eff and reasons:
+        # low utilization PLUS an interference signal → genuinely starved
         reasons.append(
             f"effective_cores {r['effective_cores']} < "
             f"{EFF_CORES_GATE}x{r['cores']}"
         )
+    elif low_eff:
+        # steal and external both clean: the job simply cannot feed this
+        # many cores (scheduling gaps / reduce-phase tails).  That is an
+        # honest property of the measurement, already reflected in its
+        # throughput — annotate, don't invalidate (re-running cannot
+        # change it).
+        r["low_utilization"] = True
     return (not reasons), reasons
 
 
