@@ -163,8 +163,10 @@ def main() -> None:
 
     # 8x cores shuffle partitions: grouped-UDF stages balance better when
     # tasks outnumber cores (390 MP windows in exactly `cores` tasks
-    # straggle; AQE coalesces the excess for the relational stages)
-    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores * 8)
+    # straggle; AQE coalesces the excess for the relational stages).
+    # MPE_SHUFFLE_MULT overrides for tail-packing experiments.
+    mult = int(os.environ.get("MPE_SHUFFLE_MULT", "8"))
+    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores * mult)
     from more_pattern_extraction_spark.operators import chunks as CH
     from more_pattern_extraction_spark.operators import gapfill as G
     from more_pattern_extraction_spark.operators import matrix_profile as MP
