@@ -48,16 +48,22 @@ MDMP_SCHEMA = "conv_id string, k int, pos int, mp double, pi bigint"
 _TIE_BREAKERS = ("event_id", "turn_idx")
 
 
+def _sort_keys(order_col: str, columns) -> list[str]:
+    """Shared ordering-key builder for :func:`sort_series` and
+    :func:`with_positions` — one definition so the pandas-side sort and
+    the Catalyst-side row_number can never drift (ADVICE r04)."""
+    return [order_col] + [
+        c for c in _TIE_BREAKERS if c in columns and c != order_col
+    ]
+
+
 def sort_series(pdf: pd.DataFrame, order_col: str) -> pd.DataFrame:
     """Deterministically order a grouped-UDF series frame.
 
     Sorts by ``order_col`` plus any present tie-break column; mergesort so
     that even a tie-break-free frame keeps a stable (input-order) sort
     rather than numpy's unstable introsort."""
-    keys = [order_col] + [
-        c for c in _TIE_BREAKERS if c in pdf.columns and c != order_col
-    ]
-    return pdf.sort_values(keys, kind="mergesort")
+    return pdf.sort_values(_sort_keys(order_col, pdf.columns), kind="mergesort")
 
 
 def with_positions(grid: DataFrame, order_col: str = "bucket_start") -> DataFrame:
@@ -65,8 +71,7 @@ def with_positions(grid: DataFrame, order_col: str = "bucket_start") -> DataFram
 
     Ties on ``order_col`` get the same ``(order_col, event_id/turn_idx)``
     tie-break as :func:`sort_series` so positions are deterministic."""
-    keys = [order_col] + [c for c in _TIE_BREAKERS if c in grid.columns]
-    w = Window.partitionBy("conv_id").orderBy(*keys)
+    w = Window.partitionBy("conv_id").orderBy(*_sort_keys(order_col, grid.columns))
     return grid.withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
 
 

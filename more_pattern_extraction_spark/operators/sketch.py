@@ -40,6 +40,20 @@ Reference analogue: quantile thresholding A11
 (``/root/reference/modules/underperformance_estimator.py:41``,
 ``np.quantile`` over an in-RAM array — exact because single-node; the
 sketch is the price of mergeability at 10^12 turns).
+
+Oracle-parity assumption (documented, ADVICE r04): the DuckDB oracle
+re-derives ``bin_expr`` with its own ``log2``/``floor``; value-level
+hash equality therefore assumes Spark (JVM ``Math.log``) and DuckDB
+(libm) agree on ``floor(log2(x/LO)*B)`` for every tested value.  A
+1-ulp ``log2`` divergence only matters when ``log2(x/LO)*B`` lands
+within ~1 ulp of an integer — i.e. x within a relative ~2^-48 of a bin
+edge — which the deterministic synthetic latencies (millisecond-grained
+ratios of small integers) never do.  The SKETCH itself does not rely on
+this: binning is deterministic per-engine, the merge identity is exact
+regardless, and the ±2.19 % error bound is unaffected by which side of
+an edge a boundary value falls.  If a future libm/JDK bump ever flips a
+bin on the tested grid, re-derive both sides from precomputed edge
+arrays compared with an epsilon instead of live ``log2``.
 """
 
 from __future__ import annotations

@@ -61,10 +61,22 @@ class CpuMeter(threading.Thread):
     process's descendant tree record the max ``utime+stime`` ever seen
     (plus, for this process itself, its own rusage).  ``read()`` = sum
     over every pid EVER seen — a dead worker keeps its last observed
-    ticks, cutime is never used (so no double count), and the result is
-    monotone by construction.  A pid whose counter goes backwards (pid
-    reuse) banks the old value in a graveyard and restarts.  Undercount
-    is bounded by one sampling interval per process death.
+    ticks, and the result is monotone by construction.  A pid whose
+    counter goes backwards (pid reuse) banks the old value in a
+    graveyard and restarts.  Undercount is bounded by one sampling
+    interval per process death.
+
+    Double-count guard: ``RUSAGE_CHILDREN`` (added for short-lived
+    direct children that die between samples) covers exactly the
+    *reaped* direct children.  A DIRECT child sampled alive therefore
+    must have its banked /proc ticks dropped once it is reaped —
+    otherwise it is billed twice (once from its last /proc sample, once
+    from rusage).  We detect "reaped" as a tracked direct-child pid
+    disappearing from /proc: a dead-but-unreaped direct child stays
+    visible as a zombie (this process does not ignore SIGCHLD), so
+    vanishing implies a wait() happened and rusage now owns its time.
+    Descendants that are NOT direct children (JVM's python workers)
+    never reach our rusage, so their banked ticks are kept forever.
     """
 
     def __init__(self, interval: float = 0.25):
@@ -72,6 +84,7 @@ class CpuMeter(threading.Thread):
         self._interval = interval
         self._lock = threading.Lock()
         self._last: dict[int, int] = {}
+        self._direct: set[int] = set()
         self._graveyard = 0
         self._clk = os.sysconf("SC_CLK_TCK")
         self._stop = threading.Event()
@@ -94,14 +107,24 @@ class CpuMeter(threading.Thread):
             while stack:
                 p = stack.pop()
                 if p in procs:
+                    if procs[p][0] == me:
+                        self._direct.add(p)
                     cur = procs[p][1]
                     prev = self._last.get(p, 0)
                     if cur < prev:  # pid reuse: bank the dead one's ticks
-                        self._graveyard += prev
+                        if p not in self._direct:
+                            self._graveyard += prev
+                        self._direct.discard(p)
                         self._last[p] = cur
                     else:
                         self._last[p] = cur
                 stack.extend(children.get(p, []))
+            # reaped direct children: gone from /proc (no zombie left) ⇒
+            # waited-for ⇒ RUSAGE_CHILDREN owns their time — drop the
+            # banked /proc ticks so they aren't counted twice
+            for p in [p for p in self._direct if p not in procs]:
+                self._direct.discard(p)
+                self._last.pop(p, None)
             total = self._graveyard + sum(self._last.values())
         # own already-reaped direct children (JVM after spark.stop) —
         # their pids may never have been sampled if short-lived

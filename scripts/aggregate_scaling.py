@@ -25,42 +25,45 @@ def main() -> None:
     if not runs:
         sys.exit("no completed executions")
 
-    def north(r):
-        return r["north_rollup"]
-
-    def full(r):
-        return r["full_pipeline"]
-
     rows = []
     for p, r in runs:
-        n, fl = north(r), full(r)
-        rows.append({
+        n, fl = r["north_rollup"], r.get("full_pipeline")
+        row = {
             "file": p.rsplit("/", 1)[-1],
             "north_raw_2_8": n["pair_2_to_8"]["efficiency"],
             "north_cpu_2_8": n["pair_2_to_8"]["cpu_normalized"],
             "north_raw_8_32": n["pair_8_to_32"]["efficiency"],
-            "full_raw_2_8": fl["pair_2_to_8"]["efficiency"],
-            "full_cpu_2_8": fl["pair_2_to_8"]["cpu_normalized"],
-            "full_raw_8_32": fl["pair_8_to_32"]["efficiency"],
             "gates": {
                 f"north{c}": (not n["legs"][c]["starved"]) for c in ("2", "8", "32")
-            } | {f"full{c}": (not fl["legs"][c]["starved"]) for c in ("2", "8", "32")},
+            },
             "north_eff_cores_2": n["legs"]["2"]["effective_cores"],
-            "full_eff_cores_2": fl["legs"]["2"]["effective_cores"],
             "hw_2_8": r["hw_ceiling_eff_2_8"],
             "hw_8_32": r["hw_ceiling_eff_8_32"],
-        })
+        }
+        if fl is not None:
+            row.update({
+                "full_raw_2_8": fl["pair_2_to_8"]["efficiency"],
+                "full_cpu_2_8": fl["pair_2_to_8"]["cpu_normalized"],
+                "full_raw_8_32": fl["pair_8_to_32"]["efficiency"],
+                "full_eff_cores_2": fl["legs"]["2"]["effective_cores"],
+            })
+            row["gates"] |= {
+                f"full{c}": (not fl["legs"][c]["starved"]) for c in ("2", "8", "32")
+            }
+        rows.append(row)
 
     def med(key):
-        return round(statistics.median(x[key] for x in rows), 3)
+        vals = [x[key] for x in rows if key in x]
+        return round(statistics.median(vals), 3) if vals else None
 
+    medians = {k: med(k) for k in (
+        "north_raw_2_8", "north_cpu_2_8", "north_raw_8_32",
+        "full_raw_2_8", "full_cpu_2_8", "full_raw_8_32",
+        "hw_2_8", "hw_8_32",
+    )}
     summary = {
         "executions": len(rows),
-        "median": {k: med(k) for k in (
-            "north_raw_2_8", "north_cpu_2_8", "north_raw_8_32",
-            "full_raw_2_8", "full_cpu_2_8", "full_raw_8_32",
-            "hw_2_8", "hw_8_32",
-        )},
+        "median": {k: v for k, v in medians.items() if v is not None},
         "per_execution": rows,
         "target": 0.8,
     }
