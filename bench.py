@@ -53,11 +53,17 @@ def main() -> None:
     feats = R.turn_features(turns, latency_col="latency")
 
     timings: dict[str, float] = {}
+    checksums: dict[str, int] = {}
 
     def bench(name, thunk):
         t0 = time.time()
-        thunk()
+        res = thunk()
         timings[name] = round(time.time() - t0, 3)
+        # DrainResult checksum → cross-round value-regression oracle
+        # (VERDICT r04 #5): scripts/compare_bench_checksums.py fails if a
+        # checksum moves for an unchanged query definition
+        if hasattr(res, "checksum"):
+            checksums[name] = res.checksum
 
     # A1: 1m rollup over the full stream (the headline metric's numerator)
     r1m = R.rollup_from_raw(feats, "1m")
@@ -127,6 +133,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "checksums": checksums,
         "sf": sf,
         "throughput": {
             "events": n_events,

@@ -48,6 +48,122 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return arr[: side * side].reshape(side, side)
 
 
+# ---------------------------------------------------------------------------
+# Stdlib-only PNG codec (VERDICT r04 #4): lets the REAL-decoder branch of
+# the seam run in environments without PIL.  Decoder implements the PNG
+# spec's inflate + per-scanline unfilter (filters 0-4) for 8-bit
+# greyscale/RGB, non-interlaced — the shapes test fixtures use.  The
+# per-pixel unfilter loops are fine at fixture scale; a production
+# cluster installs PIL/turbojpeg via set_decoder instead.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """bytes → (H, W) or (H, W, 3) uint8.  8-bit color type 0 (grey) or
+    2 (RGB), no interlace; raises ValueError otherwise."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, hdr = 8, b"", None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("no IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or color not in (0, 2) or interlace:
+        raise ValueError(f"unsupported PNG shape: depth={depth} color={color} interlace={interlace}")
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    o = 0
+    for y in range(h):
+        f = raw[o]
+        line = np.frombuffer(raw[o + 1:o + 1 + stride], dtype=np.uint8).astype(np.int32)
+        o += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # sub / average / paeth need left-to-right
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pred = {1: a, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[f]
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (H, W[, 3]) → PNG bytes, every scanline filtered with
+    ``filter_type`` (0-4) — non-zero types exist to exercise each decoder
+    unfilter branch in tests, not for compression quality."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    if ch not in (1, 3):
+        raise ValueError("grey or RGB only")
+    color = 0 if ch == 1 else 2
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    stride = w * ch
+    body = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        filt = np.empty(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[filter_type]
+            filt[x] = (cur[x] - pred) & 0xFF
+        body.append(filter_type)
+        body.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(body)))
+            + chunk(b"IEND", b""))
+
+
 def attach_fake_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize deterministic binary payloads from text (sandbox has no
     media files); payload = utf8 bytes — stable across engines."""

@@ -178,15 +178,23 @@ def sketch_quantile(sk: DataFrame, q: float = 0.95, out_col: str = "latency_p95_
 
 
 def attach_sketch_p95(
-    rollup_df: DataFrame, sk: DataFrame, q: float = 0.95
+    rollup_df: DataFrame, sk: DataFrame, q: float = 0.95,
+    keep_sketch: bool = False,
 ) -> DataFrame:
     """Join the sketch-derived quantile onto a rollup tier frame, so every
     tier row carries BOTH the documented percentile-of-averages
     (``latency_p95``, rollup.cascade) and the mergeable true-tier
     estimate (``latency_p95_sketch``).  Equi-join on the tier key — with
     both sides bucketed/partitioned on (conv_id, bucket_start) this is a
-    co-located join, no extra shuffle beyond the aggregations."""
+    co-located join, no extra shuffle beyond the aggregations.
+
+    ``keep_sketch=True`` also carries the raw ``latency_sketch`` map —
+    the persisted-tier shape (plans/pipeline.py): a tier TABLE must store
+    the mergeable map so the next tier cascades from the stored artifact
+    instead of rescanning raw turns (≤ 512 map entries per row)."""
     cols = sketch_quantile(sk, q).select(
-        "conv_id", "bucket_start", "latency_cnt_sketch", "latency_p95_sketch"
+        "conv_id", "bucket_start",
+        *(["latency_sketch"] if keep_sketch else []),
+        "latency_cnt_sketch", "latency_p95_sketch",
     )
     return rollup_df.join(cols, ["conv_id", "bucket_start"], "left")

@@ -2012,41 +2012,95 @@ def gapfill_interp_1m(spark, sf_dir):
     )
 
 
+@register("grid_search_sweep")  # oracle: plans/oracles.grid_search_sweep_sql (below)
+def grid_search_sweep(spark, sf_dir):
+    """§2.11 GridSearchCV-style sweep (plans/ga.grid_search, VERDICT r04
+    #7): a 2×2 (m × radius) grid evaluated in ONE Spark job — motif
+    coverage per (conversation × combination) via the grouped kernel UDF,
+    F1 against the error ±10 min mask — then the |combos|-row result
+    re-parallelized for the driver compare.  Deterministic end to end (no
+    GA randomness on this path)."""
+    from more_pattern_extraction_spark.plans import ga as GA
+
+    series = _event_series(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    mts = series.select("conv_id", "bucket_start").distinct()
+    mask = (
+        mts.join(
+            err,
+            (mts["conv_id"] == err["conv_id"])
+            & (F.col("bucket_start") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("bucket_start") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .groupBy(mts["conv_id"], "bucket_start")
+        .agg((F.count("err_ts") > 0).alias("flag"))
+    )
+    res = GA.grid_search(
+        series, mask,
+        {"m": [8, 16], "radius": [2.0, 3.0], "ez_frac": [0.25], "k": [1]},
+        max_neighbors=10,
+    )
+    out = spark.createDataFrame(res[["indiv", "m", "radius", "ez_frac", "k", "f1"]])
+    return out.select(
+        F.col("indiv").cast("bigint").alias("indiv"),
+        F.col("m").cast("bigint").alias("m"),
+        F.col("radius").cast("double").alias("radius"),
+        F.col("ez_frac").cast("double").alias("ez_frac"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+ORACLES["grid_search_sweep"] = _OR.grid_search_sweep_sql(
+    ms=(8, 16), radii=(2.0, 3.0), ez_frac=0.25, max_nbrs=10
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering.
 #
-# The correctness driver checks the FIRST 50 registered queries.  Round-4
-# rotation (VERDICT r03 "next round" #5): the 14 queries whose last driver
-# row is r02 come back inside the window, plus this round's new query;
-# 15 r03-green queries whose operator stays covered by an in-window
-# sibling rotate out (e.g. matrix_profile ≡ matrix_profile_distributed
-# for W1; rollup_1d_cascade ≡ rollup_1h_cascade for A1 cascade).  Over
-# r03+r04 every registered query therefore has a driver row ≤ 1 round
-# old, and scripts/check_oracles.py (MPE_ORACLE_JSON artifact) verifies
-# ALL of them at HEAD each round regardless of the window.  Nothing is
-# dropped — rotated-out queries still run after position 50 if the
-# driver checks more.
+# The correctness driver checks the FIRST 50 registered queries.  Round-5
+# rotation (VERDICT r04 "next round" #8): the 15 queries rotated out in
+# r04 (last driver row r03) come back in, plus this round's new
+# grid_search_sweep; 16 r04-hash-green queries whose operator stays
+# covered by an in-window sibling rotate out (pairings below — mostly
+# the exact inverse of r04's).  Over r04+r05 every registered query has
+# a driver row <= 1 round old, and scripts/check_oracles.py
+# (MPE_ORACLE_JSON artifact) verifies ALL of them at HEAD each round
+# regardless of the window.  Nothing is dropped — rotated-out queries
+# still run after position 50 if the driver checks more.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # last driver row r02 — rotate back in for an r04 row
-    "rollup_1h_cascade",
+    # last driver row r03 — rotate back in for an r05 row
+    "rollup_1d_cascade",
+    "matrix_profile",
+    "matrix_profile_multidim",
+    "motif_discovery",
+    "corrected_matrix_profile",
+    "gapfill_locf_1m",
+    "dedup_exact_rep",
+    "bow_fingerprint",
+    "rolling_slope",
+    "peak_detect",
+    "deviation_windows",
+    "changepoint_event_scores_poly2",
+    "fluss_L_ranking",
+    "neighbor_search",
+    "multimodal_frames",
+    # new this round
+    "grid_search_sweep",
+    # r04-green keepers (unique operator coverage in this window)
     "filter_range",
     "between_time",
     "rolling_mean",
-    "hopping_window",
-    "matrix_profile_distributed",
-    "fluss_regimes",
-    "motif_discovery_corrected",
-    "slope_changepoints",
-    "changepoint_event_scores",
-    "dedup_exact",
-    "text_token_count",
-    "doc_fingerprint",
     "dedup_ngram_jaccard",
-    # new this round
     "rollup_p95_cascade",
-    # r03-green keepers (unique operator coverage in this window)
     "rollup_1m",
     "rollup_p95",
     "filter_dates",
@@ -2064,11 +2118,8 @@ _PRIORITY = [
     "union_by_name",
     "quantile_threshold",
     "summary_stats",
-    "gapfill_interp_1m",
     "discord_discovery",
-    "knee_detection",
     "quantile_event_scores",
-    "nn_label_stats",
     "subspace_columns",
     "motif_label_stats",
     "classification_metrics",
@@ -2077,23 +2128,24 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_topk",
-    "embedding_topk_lsh",
     "embedding_near_dups",
     "language_id",
-    "quality_score",
-    "multimodal_features",
-    # rotated out this round (r03 hash-green; operator covered in-window):
-    # rollup_1d_cascade (A1 cascade → rollup_1h_cascade), matrix_profile
-    # (W1 → matrix_profile_distributed), matrix_profile_multidim (W11 →
-    # knee_detection), motif_discovery (W10 → motif_discovery_corrected),
-    # gapfill_locf_1m (LOCF → gapfill_interp_1m), dedup_exact_rep (→
-    # dedup_exact), bow_fingerprint (→ doc_fingerprint), rolling_slope +
-    # peak_detect (W5/W8 → slope_changepoints), deviation_windows (W7 →
-    # hopping_window), changepoint_event_scores_poly2 (→
-    # changepoint_event_scores), fluss_L_ranking (W2 → fluss_regimes),
-    # neighbor_search (W9 → nn_label_stats), corrected_matrix_profile
-    # (W3 → motif_discovery_corrected), multimodal_frames (→
-    # multimodal_features)
+    # rotated out this round (r04 hash-green; operator covered in-window):
+    # rollup_1h_cascade (A1 cascade -> rollup_1d_cascade),
+    # matrix_profile_distributed (W1 -> matrix_profile),
+    # motif_discovery_corrected (W3/W10 -> motif_discovery +
+    # corrected_matrix_profile), fluss_regimes (W2 -> fluss_L_ranking),
+    # slope_changepoints (W5/W8 -> rolling_slope + peak_detect),
+    # changepoint_event_scores (-> changepoint_event_scores_poly2),
+    # dedup_exact (P9 -> dedup_exact_rep), doc_fingerprint (->
+    # bow_fingerprint), hopping_window (W7 -> deviation_windows),
+    # gapfill_interp_1m (-> gapfill_locf_1m), nn_label_stats (A8/W9 ->
+    # neighbor_search, r04's inverse pairing), multimodal_features (->
+    # multimodal_frames), knee_detection (W11/W14 multidim family ->
+    # matrix_profile_multidim + subspace_columns; r03+r04 hash-green),
+    # embedding_topk_lsh (LSH-bucketed ANN -> embedding_near_dups),
+    # quality_score + text_token_count (text.py one-pass Catalyst family
+    # -> language_id)
 ]
 
 

@@ -46,7 +46,7 @@ def init_population(pop_size: int, rng: np.random.Generator) -> pd.DataFrame:
     )
 
 
-def _coverage_udf(value_col: str, order_col: str):
+def _coverage_udf(value_col: str, order_col: str, max_neighbors: int = 50):
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = sort_series(pdf, order_col)
         m = int(pdf["m"].iloc[0])
@@ -57,7 +57,8 @@ def _coverage_udf(value_col: str, order_col: str):
         covered = np.zeros(len(t), dtype=bool)
         if len(t) >= 2 * m:
             mp, pi = stomp(t, m)
-            motifs = top_k_motifs_kernel(t, mp, pi, m, ez, radius, k)
+            motifs = top_k_motifs_kernel(t, mp, pi, m, ez, radius, k,
+                                         max_neighbors=max_neighbors)
             for mo in motifs:
                 for s in [*mo["motifs"], *mo["neighbors"]]:
                     covered[s : s + m] = True
@@ -74,6 +75,7 @@ def evaluate_generation(
     population: pd.DataFrame,
     value_col: str = "latency_avg_filled",
     order_col: str = "bucket_start",
+    max_neighbors: int = 50,
 ) -> pd.DataFrame:
     """One Spark job: per (conv, individual) motif coverage → join the
     label mask → per-individual confusion → F1 (collected: |pop| rows)."""
@@ -85,7 +87,7 @@ def evaluate_generation(
     slim = grid.select("conv_id", order_col, value_col)
     fanned = slim.crossJoin(pop_df)
     cov = fanned.groupBy("conv_id", "indiv").applyInPandas(
-        _coverage_udf(value_col, order_col),
+        _coverage_udf(value_col, order_col, max_neighbors),
         f"conv_id string, indiv long, {order_col} timestamp, pred boolean",
     )
     j = cov.join(labels_mask, ["conv_id", order_col])
@@ -236,6 +238,7 @@ def run_ga(
     order_col: str = "bucket_start",
     selection: str = "tournament",
     crossover: str = "uniform",
+    max_neighbors: int = 50,
 ) -> pd.DataFrame:
     """Returns the final scored population, best-first.  ``selection`` /
     ``crossover`` pick from the reference's strategy matrix (SELECTIONS ×
@@ -245,7 +248,8 @@ def run_ga(
     hof = None  # all-time best individual (hall of fame)
     best = None
     for _gen in range(generations):
-        scored = evaluate_generation(grid, labels_mask, pop, value_col, order_col)
+        scored = evaluate_generation(grid, labels_mask, pop, value_col, order_col,
+                                     max_neighbors=max_neighbors)
         best = scored.sort_values("f1", ascending=False)
         gen_best = best.iloc[0]
         if hof is None or gen_best["f1"] > hof["f1"]:
@@ -260,6 +264,7 @@ def grid_search(
     param_grid: dict[str, list],
     value_col: str = "latency_avg_filled",
     order_col: str = "bucket_start",
+    max_neighbors: int = 50,
 ) -> pd.DataFrame:
     """GridSearchCV-style exhaustive parameter sweep (the reference's
     ``GridSearchCV(n_jobs=-1)`` family, ``notebooks/
@@ -288,7 +293,8 @@ def grid_search(
     pop = pop.astype({"m": "int64", "radius": "float64",
                       "ez_frac": "float64", "k": "int64"})
     pop.insert(0, "indiv", range(len(pop)))
-    scored = evaluate_generation(grid, labels_mask, pop, value_col, order_col)
+    scored = evaluate_generation(grid, labels_mask, pop, value_col, order_col,
+                                 max_neighbors=max_neighbors)
     return scored.sort_values(
         ["f1", "indiv"], ascending=[False, True]
     ).reset_index(drop=True)

@@ -1082,3 +1082,58 @@ def quantile_event_scores_sql(tau: float = 0.9) -> str:
     FROM ps v JOIN ps t
       ON v.user_id = t.user_id AND v.split = 'val' AND t.split = 'test'
     """
+
+
+# ---------------------------------------------------------------------------
+# grid_search_sweep — F1 per (m, radius) combination (plans/ga.grid_search,
+# reference GridSearchCV family).  One fully-parameterized motif-coverage
+# chain per combination (DuckDB scopes a WITH inside each parenthesized
+# UNION branch), reusing the shared seed/neighbor machinery; coverage =
+# union of [s, s+m) over the rank-1 motif pair + its radius-neighbors,
+# classified against the error ±10 min mask, exactly the Spark
+# _coverage_udf semantics (incl. the n >= 2m guard and ez = int(m*0.25)
+# == ceil(m/4) for the swept m values).
+# ---------------------------------------------------------------------------
+
+def grid_search_sweep_sql(
+    ms=(8, 16), radii=(2.0, 3.0), ez_frac: float = 0.25,
+    max_nbrs: int = MAX_NBRS,
+) -> str:
+    import itertools
+
+    branches = []
+    for indiv, (m, radius) in enumerate(itertools.product(ms, radii)):
+        ez = max(1, int(m * ez_frac))
+        assert ez == int(np.ceil(m / 4)), "sweep m must keep kernel ez == stomp default ez"
+        branches.append(f"""
+    (WITH{_series_cte(m)}{_mp_cte(m, ez)},{motif_core_ctes(k=1, max_nbrs=max_nbrs, radius=radius, ez=ez, m=m)},
+    nlen AS (SELECT user_id, count(*) AS n FROM v GROUP BY 1),
+    starts AS (
+      SELECT se.user_id, unnest(list_concat([se.i0, se.j0], nb1.nbrs)) AS s
+      FROM seed1 se
+      JOIN nb1 ON nb1.user_id = se.user_id
+      JOIN nlen ON nlen.user_id = se.user_id AND nlen.n >= {2 * m}
+    ), pred AS (
+      SELECT g.user_id, g.ts,
+             EXISTS (SELECT 1 FROM starts st WHERE st.user_id = g.user_id
+                     AND g.pos BETWEEN st.s AND st.s + {m - 1}) AS p
+      FROM v g
+    ), err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    mask AS (
+      SELECT t.user_id, t.ts,
+             EXISTS (SELECT 1 FROM err e WHERE e.user_id = t.user_id
+                     AND t.ts BETWEEN e.ts - INTERVAL 10 MINUTE
+                                  AND e.ts + INTERVAL 10 MINUTE) AS flag
+      FROM (SELECT DISTINCT user_id, ts FROM v) t
+    ), conf AS (
+      SELECT sum(CASE WHEN mk.flag AND p.p THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN NOT mk.flag AND p.p THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN mk.flag AND NOT p.p THEN 1 ELSE 0 END) AS fn
+      FROM pred p JOIN mask mk ON mk.user_id = p.user_id AND mk.ts = p.ts
+    )
+    SELECT CAST({indiv} AS BIGINT) AS indiv, CAST({m} AS BIGINT) AS m,
+           CAST({radius!r} AS DOUBLE) AS radius,
+           CAST({ez_frac!r} AS DOUBLE) AS ez_frac, CAST(1 AS BIGINT) AS k,
+           round(coalesce(2.0 * tp / nullif(2 * tp + fp + fn, 0), 0.0), 6) AS f1
+    FROM conf)""")
+    return "\nUNION ALL\n".join(branches)

@@ -105,3 +105,42 @@ def test_pattern_stage_tables(spark, transcripts, out):
     assert per <= 2
     reg = CAT.read_table(spark, out, "regimes")
     assert reg.count() >= 0 and {"conv_id", "win", "L", "regime_pos", "cac"} <= set(reg.columns)
+
+
+def test_tier_sketch_p95_merge_identity_end_to_end(spark, transcripts, out):
+    """Persisted tiers carry the mergeable latency sketch (VERDICT r04 #3):
+    the 1h tier's sketch — merged from the STORED 1m maps through
+    checkpoint/write/read, never rescanning raw — must equal building the
+    sketch directly from raw turns at 1h, bin-for-bin, and so must its
+    derived p95/count."""
+    from more_pattern_extraction_spark.operators import rollup as R
+    from more_pattern_extraction_spark.operators import sketch as SK
+
+    run_pipeline(spark, transcripts, out, input_snapshot="s_sk", n_buckets=8)
+
+    for tier in ("1m", "1h", "1d"):
+        t = CAT.read_table(spark, out, f"rollup_{tier}")
+        assert {"latency_sketch", "latency_cnt_sketch", "latency_p95_sketch"} <= set(t.columns), tier
+
+    stored_1h = CAT.read_table(spark, out, "rollup_1h").select(
+        "conv_id", "bucket_start", "latency_sketch",
+        "latency_cnt_sketch", "latency_p95_sketch",
+    ).filter(F.col("latency_sketch").isNotNull())
+    direct_1h = SK.sketch_quantile(
+        SK.sketch_from_raw(R.turn_features(transcripts), "1h")
+    )
+    # exact map equality + exact p95/count equality (merge identity is
+    # bit-for-bit: binning is per-value, merge is integer sums)
+    joined = stored_1h.alias("s").join(
+        direct_1h.alias("d"), ["conv_id", "bucket_start"], "full"
+    )
+    n = joined.count()
+    assert n == direct_1h.count() == stored_1h.count()
+    ents = lambda side: F.array_sort(F.map_entries(F.col(f"{side}.latency_sketch")))
+    bad = joined.filter(
+        (ents("s") != ents("d"))  # maps aren't comparable; sorted entries are
+        | (F.col("s.latency_cnt_sketch") != F.col("d.latency_cnt_sketch"))
+        | (F.col("s.latency_p95_sketch") != F.col("d.latency_p95_sketch"))
+        | F.col("s.latency_sketch").isNull() | F.col("d.latency_sketch").isNull()
+    ).count()
+    assert bad == 0

@@ -272,3 +272,41 @@ def test_multimodal_real_decoder_via_pil(spark):
         assert np.allclose(r.features, expect)
     finally:
         MM.set_decoder(None)  # restore the fake default
+
+
+def test_multimodal_real_decoder_stdlib_png(spark):
+    """Real-decoder branch WITHOUT PIL (VERDICT r04 #4): the stdlib PNG
+    codec (zlib inflate + unfilter) drives the same set_decoder seam the
+    PIL test uses, so the non-fake path runs in this sandbox.  Fixture is
+    encoded with the Paeth filter to exercise a non-trivial unfilter."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    payload = MM.png_encode(img, filter_type=4)
+    # codec self-check outside Spark first
+    assert (MM.png_decode(payload) == img).all()
+
+    MM.set_decoder(MM.png_decode)
+    try:
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(payload))],
+            "doc_id long, modality string, payload binary",
+        )
+        out = MM.extract_features(media, pool_bins=4).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.width, r.height) == (9, 12)
+        flat = img.astype("float64").ravel()
+        idx = np.linspace(0, len(flat), 5).astype(int)
+        expect = [float(flat[a:b].mean()) for a, b in zip(idx[:-1], idx[1:])]
+        assert np.allclose(r.features, expect)
+        rgb = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+        media3 = spark.createDataFrame(
+            [(2, "image", bytearray(MM.png_encode(rgb, filter_type=3)))],
+            "doc_id long, modality string, payload binary",
+        )
+        r3 = MM.extract_features(media3, pool_bins=4).collect()[0]
+        assert (r3.width, r3.height) == (4, 6)
+    finally:
+        MM.set_decoder(None)
