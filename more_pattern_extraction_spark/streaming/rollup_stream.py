@@ -86,3 +86,38 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_sketch_entries_1m(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    latency_col: str = "latency",
+) -> DataFrame:
+    """Streaming build of the mergeable latency sketch (operators/sketch):
+    per-(conv, minute, log-bin) counts as ONE watermarked stateful
+    aggregation — the sparse-entry form of the sketch map.
+
+    The packed ``map<int,bigint>`` shape needs a second aggregation,
+    which streaming append mode does not allow to chain; but the sketch
+    is mergeable precisely so that this doesn't matter: entry rows sum
+    by (conv, bucket, bin) across micro-batches/sinks, and
+    ``operators.sketch.pack_entries`` (batch side, e.g. inside the
+    foreachBatch sink or the downstream tier cascade) restores the map
+    column exactly equal to ``sketch_from_raw`` on the same data
+    (stream==batch pytest).  State per key is one int64 — bounded by
+    watermark horizon × active (conv, bin) combinations (≤ 512 bins)."""
+    from more_pattern_extraction_spark.operators.sketch import bin_expr
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .filter(F.col(latency_col).isNotNull())
+        .groupBy(
+            "conv_id",
+            F.window("ts", "1 minute").alias("win"),
+            bin_expr(latency_col).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "conv_id", F.col("win.start").alias("bucket_start"), "bin", "cnt"
+        )
+    )

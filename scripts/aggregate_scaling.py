@@ -40,6 +40,9 @@ def main() -> None:
             "hw_2_8": r["hw_ceiling_eff_2_8"],
             "hw_8_32": r["hw_ceiling_eff_8_32"],
         }
+        if "hw_ceiling_eff_2_8_per_leg" in r:  # round-5 time-local control
+            row["hw_2_8_per_leg"] = r["hw_ceiling_eff_2_8_per_leg"]
+            row["hw_8_32_per_leg"] = r["hw_ceiling_eff_8_32_per_leg"]
         if fl is not None:
             row.update({
                 "full_raw_2_8": fl["pair_2_to_8"]["efficiency"],
@@ -59,7 +62,7 @@ def main() -> None:
     medians = {k: med(k) for k in (
         "north_raw_2_8", "north_cpu_2_8", "north_raw_8_32",
         "full_raw_2_8", "full_cpu_2_8", "full_raw_8_32",
-        "hw_2_8", "hw_8_32",
+        "hw_2_8", "hw_8_32", "hw_2_8_per_leg", "hw_8_32_per_leg",
     )}
     summary = {
         "executions": len(rows),

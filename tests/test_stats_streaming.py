@@ -382,3 +382,42 @@ def test_streaming_locf_multichunk_batch_sorted_once(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.value_locf.tolist() == [10.0] * 6 + [20.0] * 6
+
+
+def test_streaming_sketch_entries_match_batch(spark, transcripts, tmp_path):
+    """Streaming sketch (one watermarked stateful agg producing sparse
+    (conv, bucket, bin, cnt) entries) packed batch-side must equal
+    sketch_from_raw on the same turns — the mergeable-sketch contract
+    carried into Structured Streaming."""
+    from more_pattern_extraction_spark.operators import rollup as R
+    from more_pattern_extraction_spark.operators import sketch as SK
+    from more_pattern_extraction_spark.streaming.rollup_stream import (
+        streaming_sketch_entries_1m,
+    )
+
+    feats = R.turn_features(transcripts)
+    src = str(tmp_path / "sk_stream_src")
+    feats.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "latency"
+    ).write.mode("overwrite").parquet(src)
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp, latency double")
+    stream = spark.readStream.schema(schema).parquet(src)
+    entries = streaming_sketch_entries_1m(stream)
+    q = (
+        entries.writeStream.outputMode("complete")
+        .format("memory").queryName("sk_stream").trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = SK.pack_entries(spark.sql("select * from sk_stream"))
+    exp = SK.sketch_from_raw(feats, "1m")
+    j = got.alias("g").join(exp.alias("e"), ["conv_id", "bucket_start"], "full")
+    ents = lambda side: F.array_sort(
+        F.map_entries(F.col(f"{side}.latency_sketch")))
+    n = j.count()
+    assert n == exp.count() == got.count() and n > 0
+    assert j.filter(
+        (ents("g") != ents("e"))
+        | F.col("g.latency_sketch").isNull() | F.col("e.latency_sketch").isNull()
+    ).count() == 0
