@@ -109,3 +109,43 @@ def test_gapfill_is_pure_catalyst(spark, events):
     )
     p = plan_str(G.gap_fill_rollup(r1m, "1m"), mode="simple")
     assert "EvalPython" not in p and "InPandas" not in p
+
+
+def test_feature_window_and_rollup_share_one_exchange(spark, events):
+    """turn_features' lag window partitions by conv_id; the 1m rollup
+    groups by (conv_id, bucket) — a subset-compatible clustering, so
+    Catalyst must plan the whole features→rollup path with EXACTLY ONE
+    Exchange (the window's).  A second exchange here would double the
+    shuffle volume of the north-rule headline path at 10^12 turns."""
+    from more_pattern_extraction_spark.operators import rollup as R
+
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"), "ts",
+    )
+    p = plan_str(R.rollup_from_raw(R.turn_features(t), "1m"), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "EvalPython" not in p
+
+
+def test_sketch_chain_single_exchange_no_python(spark, events):
+    """The full sketch path (build at 1m → cascade to 1h → quantile)
+    must plan as ONE exchange and zero Python nodes: bin counts combine
+    map-side, every later group-by reuses the conv_id clustering, and
+    the quantile is a Project-level fold (PLANS.md §sketch)."""
+    from more_pattern_extraction_spark.operators import rollup as R
+    from more_pattern_extraction_spark.operators import sketch as SK
+
+    t = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"), "ts",
+    )
+    feats = R.turn_features(t)
+    sk = SK.sketch_quantile(SK.sketch_cascade(SK.sketch_from_raw(feats, "1m"), "1h"))
+    p = plan_str(sk, mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "EvalPython" not in p
