@@ -236,6 +236,9 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--patterns", action="store_true",
                     help="also run the MP/discord/regime pattern stage")
+    ap.add_argument("--compact", action="store_true",
+                    help="small-file compaction of the tier tables after the run "
+                         "(catalog.compact_table; Iceberg's rewrite_data_files)")
     ap.add_argument("--mp-window", default="week")
     ap.add_argument("--mp-m", type=int, default=120)
     args = ap.parse_args()
@@ -258,6 +261,12 @@ def main() -> None:
             spark, args.output, n_buckets=args.n_buckets,
             m=args.mp_m, window=args.mp_window,
         ))
+    if args.compact:
+        for t in ("rollup_1m", "rollup_1m_filled", "chunks_1m",
+                  "rollup_1h", "rollup_1d"):
+            st = CAT.compact_table(spark, args.output, t,
+                                   sort_cols=("conv_id",))
+            m[f"compact_{t}_files"] = float(st["files_after"])
     print({k: round(v, 2) for k, v in m.items()})
     spark.stop()
 

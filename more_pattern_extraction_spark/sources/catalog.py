@@ -35,14 +35,74 @@ def write_partitioned(
     name: str,
     partition_cols: tuple[str, ...] = ("conv_bucket", "ts_day"),
     mode: str = "overwrite",
+    files_per_partition: int = 1,
+    sort_cols: tuple[str, ...] = (),
 ) -> None:
+    """Partitioned write with an explicit write distribution.
+
+    Without a repartition, a partitioned write emits one file per
+    (task, partition-dir) pair — up to tasks × partitions small files
+    PER RUN, the classic 100 TB operational failure (every incremental
+    run multiplies the file count; scans drown in open() overhead and
+    the namenode/manifest in entries).  This is Iceberg's
+    ``write.distribution-mode=hash`` recreated for the Parquet seam:
+    hash-distribute on the partition columns so each partition dir is
+    written by exactly one task → one file (``files_per_partition > 1``
+    adds a deterministic conv_id salt for partitions too big for one
+    file).  ``sort_cols`` additionally sorts within each task before
+    writing — (conv_id, bucket_start) order keeps a conversation's
+    buckets adjacent, which is what the DoD/Gorilla-style columnar
+    encodings and range scans want."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    parts = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        parts.append(
+            F.pmod(F.xxhash64("conv_id"), F.lit(files_per_partition)).cast("int")
+        )
+    out = df.repartition(*parts)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
     (
-        df.write.mode(mode)
+        out.write.mode(mode)
         .partitionBy(*partition_cols)
         .parquet(table_path(root, name))
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    partition_cols: tuple[str, ...] = ("conv_bucket", "ts_day"),
+    files_per_partition: int = 1,
+    sort_cols: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction for an already-fragmented table (the
+    maintenance job Iceberg calls ``rewrite_data_files``): read every
+    partition, rewrite with the hash write distribution, dynamic
+    partition overwrite keeps the swap atomic per partition.  Returns
+    {files_before, files_after, rows}."""
+    base = table_path(root, name)
+    before = _count_data_files(base)
+    df = read_table(spark, root, name)
+    rows = df.count()
+    write_partitioned(
+        df, root, name, partition_cols=partition_cols,
+        files_per_partition=files_per_partition, sort_cols=sort_cols,
+    )
+    return {
+        "files_before": before,
+        "files_after": _count_data_files(base),
+        "rows": rows,
+    }
+
+
+def _count_data_files(base: str) -> int:
+    n = 0
+    for root_, _, files in os.walk(base):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:

@@ -159,3 +159,59 @@ def test_iceberg_branch_same_contract(spark, tiered):
     expire_snapshots-based retention.  Kept as the executable contract
     statement; flip the skip when a jar lands on the classpath."""
     assert CAT.iceberg_available(spark)
+
+
+def test_write_distribution_one_file_per_partition(spark, tiered, tmp_path):
+    """The hash write distribution (Iceberg write.distribution-mode=hash
+    for the Parquet seam) must produce exactly one data file per
+    partition dir regardless of upstream task count — without it a
+    partitioned write emits one file per (task, partition) pair and
+    every incremental run multiplies the file count."""
+    df0, _ = tiered
+    root = str(tmp_path / "dist")
+    # force many upstream tasks so the non-distributed shape would
+    # scatter each partition across files
+    df = df0.repartition(8)
+    CAT.write_partitioned(df, root, "t", sort_cols=("conv_id", "ts"))
+    base = CAT.table_path(root, "t")
+    per_dir = {}
+    for r, _, files in os.walk(base):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_dir[r] = n
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+    got = CAT.read_table(spark, root, "t")
+    assert got.count() == df0.count()
+
+
+def test_compact_table_merges_small_files_preserving_content(spark, tiered, tmp_path):
+    """compact_table (the rewrite_data_files maintenance job) must shrink
+    the file count to one per partition and leave the table's content
+    bit-identical."""
+    df0, _ = tiered
+    root = str(tmp_path / "frag")
+    base = CAT.table_path(root, "t")
+    # fragment on purpose: bypass the write distribution
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (df0.repartition(8).write.mode("overwrite")
+     .partitionBy("conv_bucket", "ts_day").parquet(base))
+    frag_files = CAT._count_data_files(base)
+    n_parts = sum(
+        1 for r, _, fs in os.walk(base)
+        if any(f.endswith(".parquet") for f in fs)
+    )
+    assert frag_files > n_parts  # genuinely fragmented
+
+    def digest(df):
+        cols = sorted(df.columns)
+        return df.select(
+            F.sum(F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in cols]),
+                         F.lit(1_000_000_007))).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    before = digest(CAT.read_table(spark, root, "t"))
+    stats = CAT.compact_table(spark, root, "t")
+    assert stats["files_before"] == frag_files
+    assert stats["files_after"] == n_parts
+    assert digest(CAT.read_table(spark, root, "t")) == before
