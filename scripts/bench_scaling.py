@@ -368,7 +368,11 @@ shared bus) that is the regime that applies.
 
 Reproduce: `python scripts/bench_scaling.py`.
 """
-    with open("/root/repo/BENCH_SCALING.md", "w") as f:
+    # default changed r05: BENCH_SCALING.md is hand-curated from the
+    # aggregated executions — a single run must not clobber it.  Set
+    # MPE_SCALING_MD=/root/repo/BENCH_SCALING.md to restore old behavior.
+    md_path = os.environ.get("MPE_SCALING_MD", "/tmp/bench_scaling_draft.md")
+    with open(md_path, "w") as f:
         f.write(md)
 
 

@@ -310,3 +310,26 @@ def test_multimodal_real_decoder_stdlib_png(spark):
         assert (r3.width, r3.height) == (4, 6)
     finally:
         MM.set_decoder(None)
+
+
+def test_png_codec_roundtrip_property():
+    """Property fuzz of the stdlib PNG codec: any uint8 grey/RGB image,
+    any filter type, must round-trip bit-exactly (spec unfilter paths
+    0-4 all exercised)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 17), w=st.integers(1, 17),
+        ch=st.sampled_from([1, 3]), ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ch, ft, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = MM.png_decode(MM.png_encode(img, filter_type=ft))
+        assert dec.shape == img.shape and (dec == img).all()
+
+    check()
