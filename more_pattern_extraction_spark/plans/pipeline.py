@@ -85,11 +85,13 @@ def run_pipeline(
             keep_sketch=True,
         )
         r1m = CAT.with_layout_cols(r1m, n_buckets)
-        CAT.write_partitioned(r1m, out_root, "rollup_1m")
+        CAT.write_partitioned(r1m, out_root, "rollup_1m",
+                              sort_cols=("conv_id", "bucket_start"))
 
         filled = G.gap_fill_rollup(CAT.read_table(spark, out_root, "rollup_1m"), "1m")
         filled = CAT.with_layout_cols(filled, n_buckets)
-        CAT.write_partitioned(filled, out_root, "rollup_1m_filled")
+        CAT.write_partitioned(filled, out_root, "rollup_1m_filled",
+                              sort_cols=("conv_id", "bucket_start"))
 
         chunks = CH.encode_chunks(
             CAT.read_table(spark, out_root, "rollup_1m"),
@@ -99,7 +101,8 @@ def run_pipeline(
         chunks = chunks.withColumn(
             "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
         ).withColumn("ts_day", F.col("ts_bucket").cast("date"))
-        CAT.write_partitioned(chunks, out_root, "chunks_1m")
+        CAT.write_partitioned(chunks, out_root, "chunks_1m",
+                              sort_cols=("conv_id", "ts_bucket"))
 
         base = CAT.read_table(spark, out_root, "rollup_1m")
         sk_cols = ["conv_id", "bucket_start", "latency_sketch"]
@@ -108,14 +111,16 @@ def run_pipeline(
             SK.sketch_cascade(base.select(*sk_cols), "1h"),
             keep_sketch=True,
         )
-        CAT.write_partitioned(CAT.with_layout_cols(r1h, n_buckets), out_root, "rollup_1h")
+        CAT.write_partitioned(CAT.with_layout_cols(r1h, n_buckets), out_root, "rollup_1h",
+                              sort_cols=("conv_id", "bucket_start"))
         base_h = CAT.read_table(spark, out_root, "rollup_1h")
         r1d = SK.attach_sketch_p95(
             R.cascade(base_h, "1d"),
             SK.sketch_cascade(base_h.select(*sk_cols), "1d"),
             keep_sketch=True,
         )
-        CAT.write_partitioned(CAT.with_layout_cols(r1d, n_buckets), out_root, "rollup_1d")
+        CAT.write_partitioned(CAT.with_layout_cols(r1d, n_buckets), out_root, "rollup_1d",
+                              sort_cols=("conv_id", "bucket_start"))
 
         if retention:
             for tier, keep_after in retention.items():

@@ -37,6 +37,7 @@ def write_partitioned(
     mode: str = "overwrite",
     files_per_partition: int = 1,
     sort_cols: tuple[str, ...] = (),
+    compression: str = "zstd",
 ) -> None:
     """Partitioned write with an explicit write distribution.
 
@@ -65,6 +66,8 @@ def write_partitioned(
         out = out.sortWithinPartitions(*sort_cols)
     (
         out.write.mode(mode)
+        .option("compression", compression)  # zstd: ~30-50% smaller than
+        # snappy at comparable scan speed — at 100 TB the default choice
         .partitionBy(*partition_cols)
         .parquet(table_path(root, name))
     )
