@@ -47,5 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     q = _entry.ordered_queries()
-    o = dict(_entry.ORACLES)
+    # a registry value may be a zero-arg callable producing the SQL —
+    # used where the oracle inlines data-dependent literals (IVF
+    # centroids) that must not be computed at import time
+    o = {n: (v() if callable(v) else v) for n, v in _entry.ORACLES.items()}
     return {n: o[n] for n in q if n in o} | {n: s for n, s in o.items() if n not in q}

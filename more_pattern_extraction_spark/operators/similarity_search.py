@@ -189,3 +189,129 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path named in the task brief
+# ("an IVF or LSH-bucketed variant").  A coarse k-means quantizer is
+# trained driver-side on a deterministic sample (standard IVF practice —
+# at 100 TB the quantizer trains on a ~1e6-row sample, never the
+# corpus), centroids are inlined as literal arrays (broadcast-by-plan),
+# the corpus is assigned to its nearest cell ONCE (pure Catalyst fold —
+# one narrow pass, no shuffle), and each query probes only its
+# ``n_probe`` nearest cells.  Candidate set ≈ corpus × n_probe / n_cells.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 5,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Seeded init drawn from the id-ordered sample, fixed iteration count,
+    first-index tie-break in assignment — reruns and engines agree
+    bit-for-bit on the returned centroids.  ``sample_mod`` keeps the
+    driver-side collect bounded (train on vec_id % mod == 0)."""
+    s = emb
+    if sample_mod > 1:
+        s = s.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+    pdf = s.orderBy(id_col).select(vec_col).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype="float64")
+    return kmeans_fit(X, n_centroids, iters=iters, seed=seed)
+
+
+def kmeans_fit(
+    X: np.ndarray, n_centroids: int, iters: int = 5, seed: int = 7
+) -> np.ndarray:
+    """Pure-numpy deterministic Lloyd's iterations (shared by the Spark
+    trainer above and the oracle-side pyarrow loader in plans/entry.py —
+    ONE implementation so both engines inline identical centroids)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)  # numpy argmin = first-index tie-break
+        for j in range(n_centroids):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
+def _cell_structs(vec_col, centroids: np.ndarray) -> list:
+    """Per-centroid (distance, id) structs; d = ||c||^2 - 2 v.c (the
+    ||v||^2 term is constant per vector and cancels in the argmin),
+    rounded to 6 dp so the DuckDB oracle's argmin agrees on near-ties."""
+    out = []
+    for j, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        n2 = float((c * c).sum())
+        out.append(F.struct(
+            F.round(F.lit(n2) - 2.0 * _dot(vec_col, lit), 6).alias("d"),
+            F.lit(j).alias("j"),
+        ))
+    return out
+
+
+def ivf_cell(vec_col, centroids: np.ndarray):
+    """Nearest-centroid cell id, pure Catalyst (lexicographic struct min
+    = rounded-distance argmin with first-index tie-break)."""
+    return F.array_min(F.array(*_cell_structs(vec_col, centroids)))["j"]
+
+
+def ivf_probes(vec_col, centroids: np.ndarray, n_probe: int):
+    """The query's n_probe nearest cell ids (array<int>), same metric."""
+    ranked = F.slice(
+        F.array_sort(F.array(*_cell_structs(vec_col, centroids))), 1, n_probe
+    )
+    return F.transform(ranked, lambda s: s["j"])
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: assign corpus to cells once, probe the query's
+    n_probe nearest cells, exact cosine rank inside the candidate set.
+    Recall < 1 by construction (a neighbor can live in an unprobed
+    cell); n_probe/n_centroids is the recall/cost dial.  Plan shape at
+    100 TB: corpus-side Project (cell fold) + one equi-join shuffle on
+    cell id against the broadcast probed queries — the corpus never
+    crosses the wire more than once."""
+    from pyspark.sql import Window
+
+    C = centroids if centroids is not None else train_ivf_centroids(
+        emb, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        ivf_cell(F.col(vec_col), C).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(ivf_probes(F.col(vec_col), C, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

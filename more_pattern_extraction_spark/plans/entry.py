@@ -1737,6 +1737,47 @@ def embedding_near_dups(spark, sf_dir):
     return SS.embedding_near_dups(planted, threshold=0.99, n_planes=6)
 
 
+def _ivf_centroids(sf_dir, n_centroids=8, seed=7):
+    """IVF coarse-quantizer centroids for the oracled query: trained by
+    the SHARED numpy kmeans (similarity_search.kmeans_fit) on the
+    id-ordered embeddings read engine-neutrally via pyarrow — the Spark
+    query and the DuckDB oracle inline the IDENTICAL centroid literals,
+    so the quantizer itself is outside the engine-comparison surface
+    (like the inlined LSH hyperplanes, but data-dependent)."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from more_pattern_extraction_spark.operators.similarity_search import kmeans_fit
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = t.to_pandas().sort_values("vec_id")
+    X = _np.array(pdf["embedding"].tolist(), dtype="float64")
+    return kmeans_fit(X, n_centroids, iters=5, seed=seed)
+
+
+@register("embedding_topk_ivf")  # oracle: plans/oracles.ivf_topk_sql (lazy, below)
+def embedding_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k (the task brief's second ANN scale path next to
+    LSH): corpus assigned once to its nearest coarse-quantizer cell
+    (pure-Catalyst rounded-distance struct-min), queries probe their 3
+    nearest of 8 cells, exact cosine rank inside the candidates."""
+    from more_pattern_extraction_spark.operators import similarity_search as SS
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    return SS.cosine_topk_ivf(
+        emb, q, k=3, n_probe=3, centroids=_ivf_centroids(sf_dir)
+    ).select("query_id", "cand_id", "cos", "rank")
+
+
+# Lazy oracle: the centroids are data-dependent (trained on the sf0.01
+# embeddings the driver compares against), so the SQL is generated when
+# oracle_sql() is called, not at import time.
+ORACLES["embedding_topk_ivf"] = lambda: _OR.ivf_topk_sql(
+    _ivf_centroids("/root/testdata/sf0.01"), k=3, n_probe=3, n_queries=5
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2095,6 +2136,7 @@ _PRIORITY = [
     "multimodal_frames",
     # new this round
     "grid_search_sweep",
+    "embedding_topk_ivf",
     # r04-green keepers (unique operator coverage in this window)
     "filter_range",
     "between_time",
@@ -2127,7 +2169,6 @@ _PRIORITY = [
     "chunk_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "embedding_topk",
     "embedding_near_dups",
     "language_id",
     # rotated out this round (r04 hash-green; operator covered in-window):
@@ -2144,6 +2185,8 @@ _PRIORITY = [
     # multimodal_frames), knee_detection (W11/W14 multidim family ->
     # matrix_profile_multidim + subspace_columns; r03+r04 hash-green),
     # embedding_topk_lsh (LSH-bucketed ANN -> embedding_near_dups),
+    # embedding_topk (exact-cosine kernel runs in-window inside
+    # embedding_topk_ivf's candidate ranking; r04 hash-green),
     # quality_score + text_token_count (text.py one-pass Catalyst family
     # -> language_id)
 ]

@@ -1137,3 +1137,72 @@ def grid_search_sweep_sql(
            round(coalesce(2.0 * tp / nullif(2 * tp + fp + fn, 0), 0.0), 6) AS f1
     FROM conf)""")
     return "\nUNION ALL\n".join(branches)
+
+
+# ---------------------------------------------------------------------------
+# embedding_topk_ivf — IVF ANN: nearest-cell assignment (struct-min over
+# inlined centroids, distances rounded to 6 dp on BOTH engines so the
+# argmin agrees on near-ties), n_probe nearest cells per query, exact
+# cosine rank inside the candidate set.  Centroids are trained once by
+# the shared numpy kmeans (similarity_search.kmeans_fit) and inlined
+# here as literals — the SQL never re-derives the quantizer.
+# ---------------------------------------------------------------------------
+
+def ivf_topk_sql(centroids, k: int = 3, n_probe: int = 3,
+                 n_queries: int = 5, dim: int = 64) -> str:
+    import numpy as np  # noqa: F811
+
+    def arr(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    cent_rows = ",\n      ".join(
+        f"({j}, {arr(c)}::DOUBLE[], {float(np.dot(c, c))!r})"
+        for j, c in enumerate(centroids)
+    )
+
+    def dot(a, b):
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+    return f"""
+    WITH cent(j, cv, n2) AS (VALUES
+      {cent_rows}
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS cand_id, embedding AS v FROM embeddings),
+    cand_dist AS (
+      -- cross join instead of a correlated subquery: DuckDB lambdas
+      -- (list_transform) cannot capture correlated outer columns
+      SELECT c.cand_id, cent.j,
+             round(cent.n2 - 2 * {dot('c.v', 'cent.cv')}, 6) AS d
+      FROM c CROSS JOIN cent
+    ),
+    cand_cell AS (
+      SELECT cd.cand_id, c.v,
+             struct_extract(min({{'d': cd.d, 'j': cd.j}}), 'j') AS cell
+      FROM cand_dist cd JOIN c ON c.cand_id = cd.cand_id
+      GROUP BY cd.cand_id, c.v
+    ),
+    qdist AS (
+      SELECT q.query_id, q.qv, cent.j AS cell,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(cent.n2 - 2 * {dot('q.qv', 'cent.cv')}, 6), cent.j
+             ) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT query_id, qv, cell FROM qdist WHERE rn <= {n_probe}),
+    scored AS (
+      SELECT p.query_id, cc.cand_id,
+             round({dot('p.qv', 'cc.v')}
+                   / sqrt({dot('p.qv', 'p.qv')} * {dot('cc.v', 'cc.v')}), 6) AS cos
+      FROM cand_cell cc JOIN probes p ON cc.cell = p.cell
+      WHERE cc.cand_id != p.query_id
+    ),
+    r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rank
+          FROM scored)
+    SELECT query_id, cand_id, cos, rank FROM r WHERE rank <= {k}
+    """

@@ -182,6 +182,49 @@ def test_embedding_near_dups_auto_planes_and_cap(spark, emb):
     assert len(capped) == 0
 
 
+def test_ivf_topk_recall_and_exact_cosines(spark, emb):
+    # clustered fixture + as many IVF cells as true clusters: a query's
+    # neighbors share its cluster, so probing 3/8 cells must recover
+    # most of the exact top-3 — and every returned cosine is exact
+    df, vecs = emb
+    q = df.filter("vec_id < 10")
+    exact = SS.cosine_topk(df, q, k=3).toPandas()
+    approx = SS.cosine_topk_ivf(df, q, k=3, n_centroids=8, n_probe=3).toPandas()
+    merged = approx.merge(exact, on=["query_id", "cand_id"], how="inner",
+                          suffixes=("_a", "_e"))
+    assert len(merged) / len(exact) >= 0.8
+    np.testing.assert_allclose(merged.cos_a.values, merged.cos_e.values, atol=1e-9)
+
+
+def test_ivf_prunes_candidates_and_partitions_corpus(spark, emb):
+    # cell assignment is a partition of the corpus (exactly one cell per
+    # vector) and probing n_probe of n_centroids cells prunes the
+    # candidate set well below the brute-force corpus×queries cross
+    df, _ = emb
+    C = SS.train_ivf_centroids(df, n_centroids=8)
+    cells = df.select(
+        "vec_id", SS.ivf_cell(F.col("embedding"), C).alias("cell")
+    ).toPandas()
+    assert len(cells) == 80 and cells.cell.between(0, 7).all()
+    sizes = cells.cell.value_counts()
+    q = df.filter("vec_id < 10").select(
+        "vec_id", SS.ivf_probes(F.col("embedding"), C, 3).alias("probes")
+    ).toPandas()
+    cand_total = sum(sizes.reindex(p, fill_value=0).sum() for p in q.probes)
+    assert cand_total < 0.75 * 80 * 10  # strictly prunes vs brute force
+
+
+def test_ivf_kmeans_deterministic(spark, emb):
+    df, _ = emb
+    a = SS.train_ivf_centroids(df, n_centroids=8)
+    b = SS.train_ivf_centroids(df, n_centroids=8)
+    np.testing.assert_array_equal(a, b)
+    # and the shared pure-numpy trainer agrees with the Spark-side one
+    pdf = df.orderBy("vec_id").select("embedding").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype="float64")
+    np.testing.assert_array_equal(a, SS.kmeans_fit(X, 8))
+
+
 def test_lsh_topk_multi_probe_recall_not_worse(spark, emb):
     df, vecs = emb
     q = df.filter("vec_id < 10")
