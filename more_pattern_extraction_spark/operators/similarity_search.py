@@ -261,8 +261,17 @@ def _cell_structs(vec_col, centroids: np.ndarray) -> list:
 
 def ivf_cell(vec_col, centroids: np.ndarray):
     """Nearest-centroid cell id, pure Catalyst (lexicographic struct min
-    = rounded-distance argmin with first-index tie-break)."""
-    return F.array_min(F.array(*_cell_structs(vec_col, centroids)))["j"]
+    = rounded-distance argmin with first-index tie-break).
+
+    Wrapped in ``coalesce(.., -1)`` so the column is provably non-null:
+    without it, the equi-join on cell infers ``isnotnull(cell)`` and
+    pushes it below the Project, evaluating the whole centroid-distance
+    fold TWICE per corpus row (seen in .explain).  -1 never matches a
+    probe (cells are 0..n-1), and in practice never occurs (embeddings
+    are non-null), so semantics are unchanged."""
+    return F.coalesce(
+        F.array_min(F.array(*_cell_structs(vec_col, centroids)))["j"], F.lit(-1)
+    )
 
 
 def ivf_probes(vec_col, centroids: np.ndarray, n_probe: int):
