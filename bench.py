@@ -107,6 +107,17 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
     bench("embedding_topk", lambda: drain_checksum(SS.cosine_topk(emb, q, k=5)))
+    # ANN scale path: IVF cell-probe search, quantizer trained on a
+    # 1-in-10 sample (the 100 TB shape: sample-trained centroids, one
+    # narrow corpus pass for assignment, probes hit 3/8 cells).
+    # Training is timed inside the query — it is part of the work.
+    bench(
+        "embedding_topk_ivf",
+        lambda: drain_checksum(SS.cosine_topk_ivf(
+            emb, q, k=5, n_centroids=8, n_probe=3,
+            centroids=SS.train_ivf_centroids(emb, 8, sample_mod=10),
+        )),
+    )
     # W3: AV-corrected matrix profile (relational annotation vector)
     bench(
         "corrected_matrix_profile",
