@@ -35,6 +35,33 @@ TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
 # cascade order; retention horizons are configured per deployment
 TIER_ORDER = ["1m", "1h", "1d"]
 
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def tier_seconds(tier: str) -> int:
+    """Width of a tier string in seconds — ``"5m"`` → 300, ``"1h"`` → 3600."""
+    n, unit = tier[:-1], tier[-1:]
+    if not n.isdigit() or unit not in _UNIT_SECONDS:
+        raise ValueError(f"bad tier {tier!r}: expected <N><s|m|h|d>")
+    return int(n) * _UNIT_SECONDS[unit]
+
+
+def bucket_expr(c, tier: str):
+    """Bucket-start expression for any tier width (time_bucket semantics).
+
+    Named tiers (``1m``/``1h``/``1d``) keep ``date_trunc`` — calendar-aligned
+    and partition-prunable.  Arbitrary widths (``5m``, ``15m``, ``6h``) floor
+    the epoch: ``timestamp_seconds(floor(epoch(ts)/w)*w)`` — still a pure
+    column expression (whole-stage codegen, groupable, prunable via min/max
+    stats), epoch-aligned like TimescaleDB's sub-day ``time_bucket``.
+    """
+    if tier in TIERS:
+        return F.date_trunc(TIERS[tier], c)
+    w = tier_seconds(tier)
+    c = F.col(c) if isinstance(c, str) else c
+    sec = c.cast("timestamp").cast("double")
+    return F.timestamp_seconds(F.floor(sec / F.lit(w)).cast("long") * F.lit(w))
+
 FEATURES = ["latency"]  # numeric per-turn features rolled up
 
 
@@ -62,11 +89,10 @@ def turn_features(df: DataFrame, latency_col: str | None = None) -> DataFrame:
 
 
 def rollup_from_raw(turns: DataFrame, tier: str = "1m") -> DataFrame:
-    """Finest-tier rollup straight from per-turn rows."""
-    unit = TIERS[tier]
+    """Finest-tier rollup straight from per-turn rows (any tier width)."""
     return (
         turns.groupBy(
-            "conv_id", F.date_trunc(unit, F.col("ts")).alias("bucket_start")
+            "conv_id", bucket_expr(F.col("ts"), tier).alias("bucket_start")
         )
         .agg(
             F.count(F.lit(1)).alias("turn_cnt"),
@@ -87,12 +113,14 @@ def cascade(finer: DataFrame, to_tier: str) -> DataFrame:
 
     Exact for cnt/sum/min/max (and therefore avg = sum/cnt); p95 is the
     percentile of the finer tier's bucket averages (see module docstring).
+    ``to_tier`` may be any width whose seconds are a multiple of the finer
+    tier's (e.g. 1m→5m→1h); the caller owns that invariant — a non-multiple
+    silently splits finer buckets across coarse ones.
     """
-    unit = TIERS[to_tier]
     return (
         finer.groupBy(
             "conv_id",
-            F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
+            bucket_expr(F.col("bucket_start"), to_tier).alias("bucket_start"),
         )
         .agg(
             F.sum("turn_cnt").alias("turn_cnt"),

@@ -109,11 +109,15 @@ def rollup_1m(spark, sf_dir):
     )
 
 
-def _cascade_tier(spark, sf_dir, unit: str) -> DataFrame:
+def _cascade_tier(spark, sf_dir, tier: str) -> DataFrame:
     """1m tier re-aggregated to a coarser tier — the oracle computes the
     coarse tier directly from raw rows, so this doubles as the cascade-
-    identity check (FIXTURES.md §3) under the driver's value hash."""
-    from more_pattern_extraction_spark.operators.rollup import cascade  # noqa: F401
+    identity check (FIXTURES.md §3) under the driver's value hash.
+
+    ``tier`` is any ``operators/rollup.bucket_expr`` tier string: named
+    calendar tiers (``1h``/``1d`` → date_trunc) or arbitrary epoch-aligned
+    widths (``5m`` → floor(epoch/300)*300, time_bucket semantics)."""
+    from more_pattern_extraction_spark.operators.rollup import bucket_expr
 
     fine = (
         _events(spark, sf_dir)
@@ -132,7 +136,7 @@ def _cascade_tier(spark, sf_dir, unit: str) -> DataFrame:
     )
     return (
         fine.groupBy(
-            "conv_key", F.date_trunc(unit, "bucket_start").alias("bucket_start")
+            "conv_key", bucket_expr(F.col("bucket_start"), tier).alias("bucket_start")
         )
         .agg(
             F.sum("turn_cnt").alias("turn_cnt"),
@@ -155,7 +159,7 @@ def _cascade_tier(spark, sf_dir, unit: str) -> DataFrame:
     """,
 )
 def rollup_1h_cascade(spark, sf_dir):
-    return _cascade_tier(spark, sf_dir, "hour")
+    return _cascade_tier(spark, sf_dir, "1h")
 
 
 @register(
@@ -167,7 +171,28 @@ def rollup_1h_cascade(spark, sf_dir):
     """,
 )
 def rollup_1d_cascade(spark, sf_dir):
-    return _cascade_tier(spark, sf_dir, "day")
+    return _cascade_tier(spark, sf_dir, "1d")
+
+
+@register(
+    "rollup_5m_cascade",
+    f"""
+    SELECT user_id AS conv_key,
+           date_trunc('minute', ts)
+             - (CAST(extract(minute FROM ts) AS INT) % 5) * INTERVAL 1 MINUTE
+             AS bucket_start,
+           {_ROLLUP_AGGS_SQL}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_5m_cascade(spark, sf_dir):
+    """Arbitrary-width continuous aggregate (TimescaleDB `time_bucket`
+    semantics): the 1m tier cascaded to an epoch-aligned 5-minute tier via
+    `operators/rollup.bucket_expr("5m")` — exact for cnt/sum/min/max/avg, no
+    raw rescan.  The oracle derives the same 5m bucket calendar-side
+    (minute-of-hour mod 5), equal to the epoch floor because the Unix epoch
+    is hour-aligned and 300 s divides an hour."""
+    return _cascade_tier(spark, sf_dir, "5m")
 
 
 @register(
@@ -2137,6 +2162,7 @@ _PRIORITY = [
     # new this round
     "grid_search_sweep",
     "embedding_topk_ivf",
+    "rollup_5m_cascade",
     # r04-green keepers (unique operator coverage in this window)
     "filter_range",
     "between_time",

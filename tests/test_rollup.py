@@ -66,6 +66,44 @@ def test_cascade_identity(spark, transcripts):
         np.testing.assert_allclose(sa["latency_avg"], sb["latency_avg"], rtol=1e-12)
 
 
+def test_arbitrary_width_tier(spark, transcripts):
+    """time_bucket-style widths: tier parsing, epoch-path equivalence to
+    date_trunc on named boundaries, pandas-oracle match at 5m, and the
+    1m→5m cascade identity (300 s divides 60 s buckets exactly)."""
+    import pyspark.sql.functions as F
+
+    assert (R.tier_seconds("5m"), R.tier_seconds("90s"), R.tier_seconds("6h"),
+            R.tier_seconds("2d")) == (300, 90, 21600, 172800)
+    for bad in ("5x", "m5", "", "5"):
+        try:
+            R.tier_seconds(bad)
+            assert False, bad
+        except ValueError:
+            pass
+
+    # "60s" through the epoch path == date_trunc('minute') everywhere
+    mism = transcripts.select(
+        (R.bucket_expr(F.col("ts"), "60s") == F.date_trunc("minute", "ts")).alias("e")
+    ).filter("not e").count()
+    assert mism == 0
+
+    t = R.turn_features(transcripts)
+    got = (R.rollup_from_raw(t, "5m")
+           .orderBy("conv_id", "bucket_start").toPandas())
+    exp = _oracle_rollup(transcripts.toPandas(), "5min")
+    assert len(got) == len(exp)
+    assert (got["bucket_start"].values == exp["bucket_start"].values).all()
+    np.testing.assert_allclose(got["latency_sum"].values, exp["latency_sum"].values,
+                               rtol=0, atol=1e-9)
+
+    cols = ["conv_id", "bucket_start", "turn_cnt", "tool_call_cnt",
+            "latency_cnt", "latency_min", "latency_max"]
+    a = (R.cascade(R.rollup_from_raw(t, "1m"), "5m")
+         .select(cols).orderBy("conv_id", "bucket_start").toPandas())
+    b = got[cols].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
 def test_text_never_perturbed(spark, transcripts):
     """Per-row invariant (BASELINE.json input_hint): the engine never
     transforms raw transcript rows — verify text equality under stable
