@@ -108,15 +108,25 @@ def rollup_from_raw(turns: DataFrame, tier: str = "1m") -> DataFrame:
     )
 
 
-def cascade(finer: DataFrame, to_tier: str) -> DataFrame:
+def cascade(finer: DataFrame, to_tier: str, from_tier: str | None = None) -> DataFrame:
     """Re-aggregate a finer tier into a coarser one (no raw-turn rescan).
 
     Exact for cnt/sum/min/max (and therefore avg = sum/cnt); p95 is the
     percentile of the finer tier's bucket averages (see module docstring).
     ``to_tier`` may be any width whose seconds are a multiple of the finer
-    tier's (e.g. 1m→5m→1h); the caller owns that invariant — a non-multiple
-    silently splits finer buckets across coarse ones.
+    tier's (e.g. 1m→5m→1h).  Pass ``from_tier`` when known and the multiple
+    invariant is VALIDATED here — a non-multiple would otherwise silently
+    split finer buckets across coarse ones (wrong aggregates, no error).
+    Without ``from_tier`` the caller owns the invariant.
     """
+    if from_tier is not None:
+        w_to, w_from = tier_seconds(to_tier), tier_seconds(from_tier)
+        if w_to % w_from != 0:
+            raise ValueError(
+                f"cascade {from_tier}->{to_tier}: coarse width {w_to}s is not a "
+                f"multiple of finer width {w_from}s — finer buckets would be "
+                "split across coarse buckets (silent wrong aggregates)"
+            )
     return (
         finer.groupBy(
             "conv_id",

@@ -195,6 +195,32 @@ def rollup_5m_cascade(spark, sf_dir):
     return _cascade_tier(spark, sf_dir, "5m")
 
 
+_RETENTION_HORIZON = "2024-01-15 00:00:00"  # mid-range of the fixture's Jan-2024 span
+
+
+@register(
+    "rollup_retention",
+    f"""
+    SELECT * FROM (
+      SELECT user_id AS conv_key, date_trunc('minute', ts) AS bucket_start,
+             {_ROLLUP_AGGS_SQL}
+      FROM events GROUP BY 1, 2
+    ) WHERE bucket_start >= TIMESTAMP '{_RETENTION_HORIZON}'
+    """,
+)
+def rollup_retention(spark, sf_dir):
+    """Retention horizon applied to the 1m tier (operators/rollup.
+    retention_filter — at scale a partition-pruned drop / Iceberg
+    metadata delete; here the same ``bucket_start >= horizon`` predicate,
+    which Catalyst pushes into the parquet scan).  The horizon literal is
+    mid-range of the Jan-2024 fixture so roughly half the buckets are
+    dropped — a trivial all-pass / all-drop filter would not exercise the
+    predicate."""
+    from more_pattern_extraction_spark.operators.rollup import retention_filter
+
+    return retention_filter(rollup_1m(spark, sf_dir), _RETENTION_HORIZON)
+
+
 @register(
     "rollup_p95",
     """
@@ -1795,11 +1821,35 @@ def embedding_topk_ivf(spark, sf_dir):
     ).select("query_id", "cand_id", "cos", "rank")
 
 
-# Lazy oracle: the centroids are data-dependent (trained on the sf0.01
+# Lazy oracle: the centroids are data-dependent (trained on the same-sf
 # embeddings the driver compares against), so the SQL is generated when
-# oracle_sql() is called, not at import time.
+# oracle_sql() is called, not at import time, and the sf_dir is resolved
+# THEN — via set_oracle_sf_dir() (check_oracles.py calls it with its CLI
+# sf_dir) or the SPARK_GRAFT_ORACLE_SF_DIR env var — so running the gate
+# on any sf trains Spark-side and oracle-side centroids on the SAME data
+# (ADVICE r05: a hardcoded sf0.01 path here guaranteed a spurious
+# mismatch for every other sf_dir).
+_ORACLE_SF_DIR: str | None = None
+
+
+def set_oracle_sf_dir(sf_dir: str) -> None:
+    """Pin the sf_dir that data-dependent lazy oracles train on."""
+    global _ORACLE_SF_DIR
+    _ORACLE_SF_DIR = sf_dir
+
+
+def _oracle_sf_dir() -> str:
+    import os as _os
+
+    return (
+        _ORACLE_SF_DIR
+        or _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+        or "/root/testdata/sf0.01"  # the driver's comparison sf
+    )
+
+
 ORACLES["embedding_topk_ivf"] = lambda: _OR.ivf_topk_sql(
-    _ivf_centroids("/root/testdata/sf0.01"), k=3, n_probe=3, n_queries=5
+    _ivf_centroids(_oracle_sf_dir()), k=3, n_probe=3, n_queries=5
 )
 
 
@@ -2130,47 +2180,50 @@ ORACLES["grid_search_sweep"] = _OR.grid_search_sweep_sql(
 # ---------------------------------------------------------------------------
 # Driver-window priority ordering.
 #
-# The correctness driver checks the FIRST 50 registered queries.  Round-5
-# rotation (VERDICT r04 "next round" #8): the 15 queries rotated out in
-# r04 (last driver row r03) come back in, plus this round's new
-# grid_search_sweep; 16 r04-hash-green queries whose operator stays
-# covered by an in-window sibling rotate out (pairings below — mostly
-# the exact inverse of r04's).  Over r04+r05 every registered query has
-# a driver row <= 1 round old, and scripts/check_oracles.py
-# (MPE_ORACLE_JSON artifact) verifies ALL of them at HEAD each round
-# regardless of the window.  Nothing is dropped — rotated-out queries
-# still run after position 50 if the driver checks more.
+# The correctness driver checks the FIRST 50 registered queries.  Round-6
+# rotation (VERDICT r05 "next round" #5): the 18 queries whose last driver
+# row is r04 (rotated out in r05, incl. language_id which slipped to
+# position 51 — ADVICE r05) come back in, plus this round's new
+# rollup_retention; 19 r05-hash-green queries whose operator stays covered
+# by an in-window sibling rotate out (pairings in the tail comment).  Over
+# r05+r06 every registered query has a driver row <= 1 round old, and
+# scripts/check_oracles.py (MPE_ORACLE_JSON artifact) verifies ALL of them
+# at HEAD each round regardless of the window.  Nothing is dropped —
+# rotated-out queries still run after position 50 if the driver checks
+# more.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # last driver row r03 — rotate back in for an r05 row
-    "rollup_1d_cascade",
-    "matrix_profile",
-    "matrix_profile_multidim",
-    "motif_discovery",
-    "corrected_matrix_profile",
-    "gapfill_locf_1m",
-    "dedup_exact_rep",
-    "bow_fingerprint",
-    "rolling_slope",
-    "peak_detect",
-    "deviation_windows",
-    "changepoint_event_scores_poly2",
-    "fluss_L_ranking",
-    "neighbor_search",
-    "multimodal_frames",
+    # last driver row r04 — rotate back in for an r06 row
+    "rollup_1h_cascade",
+    "matrix_profile_distributed",
+    "motif_discovery_corrected",
+    "fluss_regimes",
+    "slope_changepoints",
+    "changepoint_event_scores",
+    "dedup_exact",
+    "doc_fingerprint",
+    "hopping_window",
+    "gapfill_interp_1m",
+    "nn_label_stats",
+    "multimodal_features",
+    "knee_detection",
+    "embedding_topk_lsh",
+    "embedding_topk",
+    "quality_score",
+    "text_token_count",
+    "language_id",  # r05's intended keeper that overflowed to position 51
     # new this round
+    "rollup_retention",
+    # r05-green keepers (unique operator coverage in this window)
     "grid_search_sweep",
     "embedding_topk_ivf",
     "rollup_5m_cascade",
-    # r04-green keepers (unique operator coverage in this window)
     "filter_range",
     "between_time",
     "rolling_mean",
     "dedup_ngram_jaccard",
     "rollup_p95_cascade",
-    "rollup_1m",
-    "rollup_p95",
     "filter_dates",
     "filter_reltol",
     "distinct_pairs",
@@ -2188,34 +2241,32 @@ _PRIORITY = [
     "summary_stats",
     "discord_discovery",
     "quantile_event_scores",
-    "subspace_columns",
     "motif_label_stats",
     "classification_metrics",
     "equi_join_enrich",
     "chunk_roundtrip",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "embedding_near_dups",
-    "language_id",
-    # rotated out this round (r04 hash-green; operator covered in-window):
-    # rollup_1h_cascade (A1 cascade -> rollup_1d_cascade),
-    # matrix_profile_distributed (W1 -> matrix_profile),
-    # motif_discovery_corrected (W3/W10 -> motif_discovery +
-    # corrected_matrix_profile), fluss_regimes (W2 -> fluss_L_ranking),
-    # slope_changepoints (W5/W8 -> rolling_slope + peak_detect),
-    # changepoint_event_scores (-> changepoint_event_scores_poly2),
-    # dedup_exact (P9 -> dedup_exact_rep), doc_fingerprint (->
-    # bow_fingerprint), hopping_window (W7 -> deviation_windows),
-    # gapfill_interp_1m (-> gapfill_locf_1m), nn_label_stats (A8/W9 ->
-    # neighbor_search, r04's inverse pairing), multimodal_features (->
-    # multimodal_frames), knee_detection (W11/W14 multidim family ->
-    # matrix_profile_multidim + subspace_columns; r03+r04 hash-green),
-    # embedding_topk_lsh (LSH-bucketed ANN -> embedding_near_dups),
-    # embedding_topk (exact-cosine kernel runs in-window inside
-    # embedding_topk_ivf's candidate ranking; r04 hash-green),
-    # quality_score + text_token_count (text.py one-pass Catalyst family
-    # -> language_id)
+    # rotated out this round (r05 hash-green; operator covered in-window):
+    # rollup_1d_cascade + rollup_1m (A1 -> rollup_1h_cascade +
+    # rollup_retention's 1m tier), rollup_p95 (-> rollup_p95_cascade),
+    # matrix_profile (W1 -> matrix_profile_distributed),
+    # motif_discovery + corrected_matrix_profile (W3/W10 ->
+    # motif_discovery_corrected), fluss_L_ranking (W2 -> fluss_regimes),
+    # rolling_slope + peak_detect (W5/W8 -> slope_changepoints),
+    # changepoint_event_scores_poly2 (-> changepoint_event_scores),
+    # gapfill_locf_1m (-> gapfill_interp_1m), dedup_exact_rep (P9 ->
+    # dedup_exact), bow_fingerprint (-> doc_fingerprint),
+    # deviation_windows (W7/A13 -> hopping_window), neighbor_search
+    # (W9/A8 -> nn_label_stats), multimodal_frames (->
+    # multimodal_features), matrix_profile_multidim + subspace_columns
+    # (W11/W12/W14 -> knee_detection), embedding_near_dups (->
+    # embedding_topk_lsh)
 ]
+
+# ADVICE r05: the window is EXACTLY the driver's 50-query check; a silent
+# 51st entry gets no driver row while the rotation comments claim it does.
+assert len(_PRIORITY) == 50, f"_PRIORITY must be exactly 50, got {len(_PRIORITY)}"
 
 
 def ordered_queries() -> dict:

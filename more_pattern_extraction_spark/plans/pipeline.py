@@ -107,7 +107,7 @@ def run_pipeline(
         base = CAT.read_table(spark, out_root, "rollup_1m")
         sk_cols = ["conv_id", "bucket_start", "latency_sketch"]
         r1h = SK.attach_sketch_p95(
-            R.cascade(base, "1h"),
+            R.cascade(base, "1h", from_tier="1m"),
             SK.sketch_cascade(base.select(*sk_cols), "1h"),
             keep_sketch=True,
         )
@@ -115,7 +115,7 @@ def run_pipeline(
                               sort_cols=("conv_id", "bucket_start"))
         base_h = CAT.read_table(spark, out_root, "rollup_1h")
         r1d = SK.attach_sketch_p95(
-            R.cascade(base_h, "1d"),
+            R.cascade(base_h, "1d", from_tier="1h"),
             SK.sketch_cascade(base_h.select(*sk_cols), "1d"),
             keep_sketch=True,
         )

@@ -95,8 +95,20 @@ def run_bench(repo: str) -> dict:
     out = subprocess.run([sys.executable, "bench.py"], cwd=repo, env=env,
                          capture_output=True, text=True, timeout=900)
     wall, steal = time.time() - t0, read_stat()[0] - s0
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    # ADVICE r05: a failed rep must raise a diagnosable error (returncode +
+    # stderr tail), not an IndexError on the missing stdout line
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench.py in {repo} exited {out.returncode}; stderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-15:])
+        )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py in {repo} produced no JSON line; stdout tail:\n"
+            + "\n".join(out.stdout.splitlines()[-10:])
+        )
+    rec = json.loads(lines[-1])
     rec["_wall_s"] = round(wall, 1)
     rec["_steal_frac"] = round(steal / (NCPU * wall), 4)
     rec["_gate"] = gate
@@ -121,12 +133,24 @@ def main() -> None:
     out_path = sys.argv[4] if len(sys.argv) > 4 else "BENCH_AB_r05.json"
 
     runs: dict[str, list[dict]] = {"A": [], "B": []}
+    partial_path = out_path + ".partial"
     for i in range(reps):
         order = (("A", repo_a), ("B", repo_b)) if i % 2 == 0 else (("B", repo_b), ("A", repo_a))
         for label, repo in order:
-            rec = run_bench(repo)
+            try:
+                rec = run_bench(repo)
+            except Exception:
+                # ADVICE r05: persist completed reps before re-raising so a
+                # multi-hour run that dies on rep k keeps reps 0..k-1
+                with open(partial_path, "w") as f:
+                    json.dump(runs, f, indent=1)
+                print(f"rep {i} label {label} failed; partial results in "
+                      f"{partial_path}", file=sys.stderr, flush=True)
+                raise
             rec["_rep"] = i
             runs[label].append(rec)
+            with open(partial_path, "w") as f:
+                json.dump(runs, f, indent=1)
             print(json.dumps({"label": label, "rep": i, "total": rec["value"],
                               "steal_frac": rec["_steal_frac"],
                               "control": rec["_control"], "gate": rec["_gate"],
@@ -153,6 +177,8 @@ def main() -> None:
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     print(json.dumps({k: result[k] for k in
                       ("delta_b_over_a_raw", "delta_b_over_a_ctl_normalized",
                        "controls_per_run")}, indent=1))

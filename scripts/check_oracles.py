@@ -114,7 +114,12 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
+    from more_pattern_extraction_spark.plans import entry as plans_entry
     from more_pattern_extraction_spark.session import get_spark
+
+    # data-dependent lazy oracles (IVF centroids) must train on THIS
+    # sf_dir, not a hardcoded default (ADVICE r05)
+    plans_entry.set_oracle_sf_dir(sf_dir)
 
     spark = get_spark("check_oracles", cores=8, shuffle_partitions=8)
     con = duckdb.connect()

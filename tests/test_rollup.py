@@ -118,3 +118,18 @@ def test_retention_filter(spark, transcripts):
     r = R.rollup_from_raw(R.turn_features(transcripts), "1d")
     kept = R.retention_filter(r, "2024-01-02 00:00:00")
     assert kept.filter("bucket_start < timestamp '2024-01-02 00:00:00'").count() == 0
+
+
+def test_cascade_validates_tier_multiple(spark, transcripts):
+    """ADVICE r05: a coarse width that is not a multiple of the finer
+    tier's must raise (it would silently split finer buckets across
+    coarse ones), while valid multiples pass through unchanged."""
+    import pytest
+
+    r1m = R.rollup_from_raw(R.turn_features(transcripts), "1m")
+    with pytest.raises(ValueError, match="not a.*multiple"):
+        R.cascade(r1m, "90s", from_tier="1m")
+    # 5m from 1m is valid and must produce the same plan as the unvalidated call
+    a = R.cascade(r1m, "5m", from_tier="1m")
+    b = R.cascade(r1m, "5m")
+    assert a.schema == b.schema
