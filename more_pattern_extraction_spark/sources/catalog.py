@@ -63,7 +63,14 @@ def write_partitioned(
         )
     out = df.repartition(*parts)
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+        # the partition columns MUST lead the sort: FileFormatWriter
+        # requires task rows ordered by the partitionBy columns and
+        # silently inserts its own sort (destroying this one) when the
+        # actual ordering doesn't have them as a prefix — measured in
+        # scripts/measure_write_trade.py: without the prefix, sorted and
+        # unsorted configs produced byte-identical (insertion-ordered)
+        # files
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
     (
         out.write.mode(mode)
         .option("compression", compression)  # zstd: ~30-50% smaller than

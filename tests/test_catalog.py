@@ -215,3 +215,30 @@ def test_compact_table_merges_small_files_preserving_content(spark, tiered, tmp_
     assert stats["files_before"] == frag_files
     assert stats["files_after"] == n_parts
     assert digest(CAT.read_table(spark, root, "t")) == before
+
+
+def test_sort_cols_survive_partitioned_write(spark, tiered, tmp_path):
+    """sort_cols must order rows WITHIN each written file.  Regression:
+    FileFormatWriter requires task rows ordered by the partitionBy
+    columns and silently inserts its own sort — destroying a
+    sortWithinPartitions that doesn't lead with them — so the r05 tier
+    writes shipped insertion-ordered files while claiming (conv_id, ts)
+    order (caught byte-identically in scripts/measure_write_trade.py)."""
+    import pyarrow.parquet as pq
+
+    df0, _ = tiered
+    root = str(tmp_path / "sorted")
+    CAT.write_partitioned(df0.repartition(8), root, "t",
+                          sort_cols=("conv_id", "ts"))
+    base = CAT.table_path(root, "t")
+    n_files = 0
+    for r, _, files in os.walk(base):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            n_files += 1
+            t = pq.read_table(os.path.join(r, f), columns=["conv_id", "ts"])
+            keys = list(zip(t.column("conv_id").to_pylist(),
+                            t.column("ts").to_pylist()))
+            assert keys == sorted(keys), f"unsorted rows in {r}/{f}"
+    assert n_files > 0
