@@ -282,6 +282,21 @@ def ivf_probes(vec_col, centroids: np.ndarray, n_probe: int):
     return F.transform(ranked, lambda s: s["j"])
 
 
+def assign_ivf_cells(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Materializable corpus→cell assignment (the ingest-time half of
+    IVF).  At 100 TB the cell id is computed ONCE when a vector lands
+    and persisted alongside the embedding table; queries then pay only
+    the probed-cell scoring — per corpus row that's Q·n_probe/n_cells
+    dot products instead of n_centroids (assignment) + scoring every
+    search.  Pass the stored column to ``cosine_topk_ivf(cell_col=...)``."""
+    return emb.withColumn(out_col, ivf_cell(F.col(vec_col), centroids))
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -292,6 +307,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: assign corpus to cells once, probe the query's
     n_probe nearest cells, exact cosine rank inside the candidate set.
@@ -299,15 +315,20 @@ def cosine_topk_ivf(
     cell); n_probe/n_centroids is the recall/cost dial.  Plan shape at
     100 TB: corpus-side Project (cell fold) + one equi-join shuffle on
     cell id against the broadcast probed queries — the corpus never
-    crosses the wire more than once."""
+    crosses the wire more than once.  If ``cell_col`` names a
+    precomputed assignment column (see ``assign_ivf_cells``), the fold
+    is skipped entirely — the repeated-search shape, where assignment
+    was paid at ingest (measured: scripts/bench_ivf_crossover.py)."""
     from pyspark.sql import Window
 
     C = centroids if centroids is not None else train_ivf_centroids(
         emb, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    cell_expr = (F.col(cell_col) if cell_col is not None
+                 else ivf_cell(F.col(vec_col), C))
     c = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
-        ivf_cell(F.col(vec_col), C).alias("cell"),
+        cell_expr.alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -376,3 +376,50 @@ def test_png_codec_roundtrip_property():
         assert dec.shape == img.shape and (dec == img).all()
 
     check()
+
+
+def test_ivf_precomputed_cells_identical_to_fold(spark, emb):
+    """cosine_topk_ivf(cell_col=...) over a PERSISTED assign_ivf_cells
+    column (the ingest-time amortization path) must return exactly the
+    rows the inline fold path returns — same centroids, same probes,
+    same candidates, bit-equal ranks."""
+    df, _ = emb
+    C = SS.train_ivf_centroids(df, n_centroids=8)
+    q = df.filter("vec_id < 10")
+    inline = SS.cosine_topk_ivf(df, q, k=3, n_probe=3, centroids=C) \
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    with_cells = SS.assign_ivf_cells(df, C)
+    warm = SS.cosine_topk_ivf(with_cells, q, k=3, n_probe=3, centroids=C,
+                              cell_col="ivf_cell") \
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inline, warm)
+
+
+def test_ivf_centroid_cache_roundtrip(spark, emb, tmp_path, monkeypatch):
+    """_ivf_centroids persists trained centroids to an .npy cache keyed
+    by (path, mtime, params): a second call loads bit-identical values,
+    and touching the source invalidates (retrains, same values here
+    since training is deterministic)."""
+    import os
+    import time as _t
+
+    from more_pattern_extraction_spark.plans import entry as E
+
+    df, _ = emb
+    sf_dir = str(tmp_path)
+    df.toPandas().to_parquet(f"{sf_dir}/embeddings.parquet")
+    monkeypatch.setenv("MPE_IVF_CACHE_DIR", str(tmp_path / "cache"))
+    E._IVF_MEMO.clear()
+    a = E._ivf_centroids(sf_dir, n_centroids=4)
+    cached = list((tmp_path / "cache").glob("centroids_*.npy"))
+    assert len(cached) == 1
+    E._IVF_MEMO.clear()  # force the disk path
+    b = E._ivf_centroids(sf_dir, n_centroids=4)
+    np.testing.assert_array_equal(a, b)
+    # mtime bump → new cache key (a second file), values still identical
+    _t.sleep(0.01)
+    os.utime(f"{sf_dir}/embeddings.parquet")
+    E._IVF_MEMO.clear()
+    c = E._ivf_centroids(sf_dir, n_centroids=4)
+    np.testing.assert_array_equal(a, c)
+    assert len(list((tmp_path / "cache").glob("centroids_*.npy"))) == 2
