@@ -10,24 +10,39 @@ Measures compute, not tiny-file IO: results are drained with a full-row
 checksum (sum of xxhash64 over every column) — count() would let Catalyst
 prune the aggregate/window expressions being timed.  Scaling-efficiency evidence
 (local[8] vs local[32]) is scripts/bench_scaling.py → BENCH_SCALING.md.
+
+Methodology (VERDICT r05 #2 — the committed number must not be a single
+draw on a drifting box): the default invocation runs $MPE_BENCH_REPS
+(default 3) full-suite reps, each in a FRESH interpreter+JVM
+(subprocess re-exec with MPE_BENCH_SINGLE=1), each preceded by a settle
+gate (wait for a quiet 5 s /proc/stat window) and a pinned single-core
+GEMM hardware control — the exact per-run discipline scripts/bench_ab.py
+established.  The published "queries" are per-query RAW MEDIANS across
+reps; "queries_ctl_normalized" are medians of sec × control (tasks/s),
+the box-speed-adjusted cost the >20 % round-over-round rule compares
+(scripts/compare_bench.py).  Per-rep walls, controls, steal fractions,
+and gates are all recorded so the round ledger is auditable; drain
+checksums must be bit-identical across reps (flagged if not).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pyspark.sql import Window  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
-
-from more_pattern_extraction_spark.session import drain_checksum, get_spark  # noqa: E402
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
 
 
-def main() -> None:
+def run_single() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from more_pattern_extraction_spark.session import drain_checksum, get_spark
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -156,5 +171,88 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def main() -> None:
+    """Gated-median orchestrator: N fresh-JVM reps, settle gate + GEMM
+    control before each, medians + full per-rep audit trail in ONE line."""
+    from bench_ab import gemm_control, read_stat, settle
+
+    reps = int(os.environ.get("MPE_BENCH_REPS", "3"))
+    ncpu = os.cpu_count() or 32
+    rep_recs: list[dict] = []
+    controls: list[float] = []
+    gates: list[dict] = []
+    steals: list[float] = []
+
+    for i in range(reps):
+        gates.append(settle(max_wait=90.0))
+        controls.append(gemm_control())
+        (s0, _), t0 = read_stat(), time.time()
+        env = os.environ | {"MPE_BENCH_SINGLE": "1"}
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=1800)
+        wall, steal = time.time() - t0, read_stat()[0] - s0
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"bench rep {i} exited {out.returncode}; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-15:])
+            )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        rec = json.loads(lines[-1])
+        rec["_wall_s"] = round(wall, 1)
+        steals.append(round(steal / (ncpu * wall), 4))
+        rep_recs.append(rec)
+        print(json.dumps({"rep": i, "total": rec["value"],
+                          "control": controls[-1], "gate": gates[-1],
+                          "steal_frac": steals[-1]}),
+              file=sys.stderr, flush=True)
+
+    names = sorted({q for r in rep_recs for q in r["queries"]})
+
+    def med(q: str, norm: bool) -> float:
+        vals = [r["queries"][q] * (controls[j] if norm else 1.0)
+                for j, r in enumerate(rep_recs) if q in r["queries"]]
+        return round(statistics.median(vals), 3)
+
+    queries = {q: med(q, False) for q in names}
+    # checksum stability across reps — a moved checksum is semantic drift
+    # inside one round, worse than any wall regression
+    ck_sets = {q: {r["checksums"].get(q) for r in rep_recs if q in r.get("checksums", {})}
+               for q in names}
+    unstable = sorted(q for q, s in ck_sets.items() if len(s - {None}) > 1)
+
+    base = rep_recs[0]
+    out_rec = {
+        "metric": "headline_operator_suite",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "queries_ctl_normalized": {q: med(q, True) for q in names},
+        "checksums": base["checksums"],
+        "checksums_unstable": unstable,
+        "sf": base["sf"],
+        "throughput": {
+            "events": base["throughput"]["events"],
+            "rollup_turns_per_s": round(
+                base["throughput"]["events"]
+                / max(queries["rollup_1m"] + queries["rollup_cascade"], 1e-9), 1),
+        },
+        "cpus": base["cpus"],
+        "methodology": {
+            "reps": reps,
+            "per_rep_total_sec": [r["value"] for r in rep_recs],
+            "per_rep_queries": [r["queries"] for r in rep_recs],
+            "controls_tasks_per_s": controls,
+            "steal_frac_per_rep": steals,
+            "gates": gates,
+            "normalization": "sec_times_control",
+        },
+    }
+    print(json.dumps(out_rec))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MPE_BENCH_SINGLE") == "1":
+        run_single()
+    else:
+        main()
