@@ -116,10 +116,16 @@ def matrix_profile(
         return pd.DataFrame(out)
 
     if window:
+        from more_pattern_extraction_spark.plans.partitioning import spread_groups
+
         keyed = grid.withColumn("_win", F.date_trunc(window, F.col(order_col)))
-        return keyed.groupBy("conv_id", "_win").applyInPandas(
-            f, MP_SCHEMA + ", win timestamp"
-        )
+        # the skew guard only works if the (conv, win) exchange physically
+        # happens — see partitioning.spread_groups for why it can be
+        # silently skipped (upstream conv_id partitioning satisfies the
+        # grouped UDF's required distribution)
+        return spread_groups(keyed, "conv_id", "_win").groupBy(
+            "conv_id", "_win"
+        ).applyInPandas(f, MP_SCHEMA + ", win timestamp")
     return grid.groupBy("conv_id").applyInPandas(f, MP_SCHEMA)
 
 
@@ -377,9 +383,15 @@ def matrix_profile_distributed(
         res.insert(0, "conv_id", conv)
         return res.astype({"pos": "int32", "pi": "int64"})
 
-    partials = both.groupBy("conv_id", "ca", "cb").applyInPandas(
-        pair_kernel, MP_SCHEMA
-    )
+    from more_pattern_extraction_spark.plans.partitioning import spread_groups
+
+    # without the explicit exchange a hot conversation's chunk PAIRS all
+    # stay on the task that held the conversation (upstream join leaves
+    # conv_id partitioning, which satisfies the UDF's requirement) —
+    # serializing exactly the workload this banded path exists to spread
+    partials = spread_groups(both, "conv_id", "ca", "cb").groupBy(
+        "conv_id", "ca", "cb"
+    ).applyInPandas(pair_kernel, MP_SCHEMA)
     reduced = (
         partials.groupBy("conv_id", "pos")
         .agg(F.min("mp").alias("mp"), F.expr("min_by(pi, mp)").alias("pi"))

@@ -52,7 +52,14 @@ def fluss_segments(
             }
         )
 
-    return exploded.groupBy("conv_id", "L").applyInPandas(f, FLUSS_SCHEMA)
+    from more_pattern_extraction_spark.plans.partitioning import spread_groups
+
+    # explicit (conv, L) exchange: the exploded sweep inherits the MP
+    # table's conv_id partitioning, which would keep every L-variant of a
+    # conversation on one task (see partitioning.spread_groups)
+    return spread_groups(exploded, "conv_id", "L").groupBy(
+        "conv_id", "L"
+    ).applyInPandas(f, FLUSS_SCHEMA)
 
 
 def rank_L_sweep(

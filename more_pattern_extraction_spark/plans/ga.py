@@ -86,7 +86,14 @@ def evaluate_generation(
     # columns the kernel reads plus the gene columns (VERDICT r01 #6)
     slim = grid.select("conv_id", order_col, value_col)
     fanned = slim.crossJoin(pop_df)
-    cov = fanned.groupBy("conv_id", "indiv").applyInPandas(
+    # the broadcast crossJoin preserves the grid's partitioning (often
+    # conv_id from an upstream stage), which satisfies the grouped UDF's
+    # distribution and would serialize every individual of a conversation
+    # on one task — the opposite of what the fan-out is for (see
+    # partitioning.spread_groups)
+    from more_pattern_extraction_spark.plans.partitioning import spread_groups
+
+    cov = spread_groups(fanned, "conv_id", "indiv").groupBy("conv_id", "indiv").applyInPandas(
         _coverage_udf(value_col, order_col, max_neighbors),
         f"conv_id string, indiv long, {order_col} timestamp, pred boolean",
     )

@@ -47,6 +47,37 @@ def with_salt(
     return df.withColumn(salt_col, salt)
 
 
+def spread_groups(df: DataFrame, *keys: str) -> DataFrame:
+    """Force a physical hash exchange on the FULL grouping key before a
+    sub-keyed grouped UDF.
+
+    Why this must be explicit: ``groupBy(k, sub).applyInPandas`` only
+    *requires* ``ClusteredDistribution([k, sub])`` — and an upstream
+    ``HashPartitioning([k])`` (left by any Window/join/groupBy on the
+    parent key alone) SATISFIES that requirement, so Catalyst skips the
+    spreading exchange and every sub-keyed group of a hot key lands on
+    ONE task.  Measured on the skew harness input (one conversation =
+    67 % of all turns): the week-windowed matrix profile ran its ~40
+    heavy (conv, week) groups in a single 400 k-row partition at ~1.1
+    effective cores on an 8-core leg (scripts/SKEW_SCALING_r06.json,
+    first execution) — the sub-keying existed logically but never
+    physically.  An explicit ``repartition(n, keys)`` pins
+    ``HashPartitioning(keys)``, which the grouped UDF then reuses (no
+    second exchange), and costs nothing in the common case where the
+    optimizer would have inserted the identical exchange anyway.
+
+    The partition COUNT must be explicit too: a column-only
+    ``repartition(keys)`` is AQE-coalescible, and these exchanges are
+    exactly the byte-light / compute-heavy shape AQE's size-based
+    coalescing mis-plans — a few MB of grid rows carrying minutes of
+    O(n²) kernel work get coalesced back onto one task (observed: the
+    regression test's 8-week hot conversation collapsed to 1 partition
+    under column-only repartition).  A user-specified count disables
+    coalescing for this exchange only; empty partitions are cheap."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def range_partition_by_conv_bucket(
     df: DataFrame, n_partitions: int, bucket_col: str = "bucket_start"
 ) -> DataFrame:

@@ -42,7 +42,7 @@ from bench_scaling import hw_control, pair_metrics, run  # noqa: E402
 
 def ensure_skew_input(n_convs: int, base_turns: int, hot_mult: int,
                       gap_max_s: int = 20) -> str:
-    path = f"/tmp/mpe_skew_input_{n_convs}x{base_turns}h{hot_mult}_g{gap_max_s}"
+    path = f"/tmp/mpe_skew_input_{n_convs}x{base_turns}h{hot_mult}_g{gap_max_s}_rr"
     if os.path.exists(path + "/_SUCCESS"):
         return path
     from more_pattern_extraction_spark.session import get_spark
@@ -53,7 +53,14 @@ def ensure_skew_input(n_convs: int, base_turns: int, hot_mult: int,
         spark, n_convs=n_convs, base_turns=base_turns, hot_convs=1,
         hot_mult=hot_mult, gap_max_s=gap_max_s, long_gaps=False,
     )
-    df.repartition(64, "conv_id").write.mode("overwrite").parquet(path)
+    # round-robin layout, NOT repartition(conv_id): clustering files by
+    # conversation would put the hot conversation's 10 M turns in ONE
+    # parquet file, serializing the rollup's map-side partial aggregate
+    # onto the ~2 tasks that scan it (measured: rollup at 1.4 effective
+    # cores on 8).  Real transcript ingest is time-ordered across files —
+    # a conversation's turns are spread, which is what round-robin models;
+    # the engine's own tier writes handle conversation clustering later.
+    df.repartition(64).write.mode("overwrite").parquet(path)
     spark.stop()
     return path
 

@@ -297,3 +297,40 @@ def test_interval_mask_and_motif_stats(spark):
     n1, n2 = 2 / f, 1.0
     assert abs(stats.cost - (1 - abs(n1 - n2) / (n1 + n2))) < 1e-6
     assert stats.majority == "anomalous"
+
+
+def test_windowed_mp_spreads_hot_conv_despite_parent_key_partitioning(spark):
+    """Skew regression (SKEW_SCALING_r06 first execution): an upstream
+    HashPartitioning(conv_id) — any Window/join on the parent key —
+    SATISFIES the grouped UDF's ClusteredDistribution(conv_id, _win), so
+    without an explicit exchange every week-group of a hot conversation
+    runs on ONE task (measured: ~40 heavy groups in one 400k-row
+    partition, 1.1 effective cores on 8).  spread_groups must make the
+    full-key exchange physical: output partitions > 1 for a single
+    conversation spanning many weeks."""
+    from pyspark.sql import functions as F
+
+    n = 60 * 24 * 7 * 8  # 8 weeks of 1m buckets, one conversation
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "hot",
+            "bucket_start": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "latency_avg_filled": np.sin(np.arange(n) / 7.0),
+        }
+    )
+    # force the hazardous upstream shape: partitioned by conv_id alone
+    grid = spark.createDataFrame(pdf).repartition("conv_id")
+    out = MP.matrix_profile(grid, 16, window="week")
+    pids = (
+        out.withColumn("p", F.spark_partition_id())
+        .select("p").distinct().count()
+    )
+    assert pids > 1, "hot conversation's week-groups collapsed to one task"
+    # value sanity: the forced-upstream-partitioning run must be
+    # bit-identical to the same computation on the raw input
+    ref = (
+        MP.matrix_profile(spark.createDataFrame(pdf), 16, window="week")
+        .toPandas().sort_values(["win", "pos"]).reset_index(drop=True)
+    )
+    got = out.toPandas().sort_values(["win", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
