@@ -98,6 +98,7 @@ def interpolate(
     partition_cols: tuple[str, ...] = ("conv_id",),
     order_col: str = "bucket_start",
     with_locf: bool = False,
+    segment: str | None = None,
 ) -> DataFrame:
     """pandas-parity linear interpolation over a dense grid (see module
     docstring).  Adds ``<col>_filled`` per input col plus ``gap_filled``.
@@ -106,28 +107,127 @@ def interpolate(
     forward window pass (coalesce(col, prev-non-null) ≡ the standalone
     ``locf``) — fusing it here saves a third full per-partition sort at
     scale (forward, reverse, and the separate locf window each cost one).
+
+    **Skew (``segment``, e.g. ``"day"``)**: the plain form's windows
+    partition on the conversation alone, so one task sorts a hot
+    conversation's ENTIRE grid — twice (forward + reverse).  With a
+    segment the same values come from a distributed segmented scan:
+
+      * all row-level windows partition on ``(conv, date_trunc(segment))``
+        — a hot conversation spreads across its days;
+      * the cross-segment state each segment needs (previous segment's
+        last non-null anchor, next segment's first, and the global row
+        offset) is carried through a per-(conv, segment) summary — one
+        row per conv-day, windowed per conversation over DAYS (tiny) and
+        joined back on (conv, segment), which never hot-keys.
+
+    Anchor values, global positions, and therefore every filled value are
+    EXACTLY the plain form's (equality property-tested in
+    tests/test_gapfill.py; same DuckDB oracles).
     """
-    ord_w = Window.partitionBy(*partition_cols).orderBy(order_col)
-    df = df.withColumn("_pos", F.row_number().over(ord_w))
-    # CRUCIAL at scale: both look-around frames must be *growing* frames
-    # (unboundedPreceding..-1), which Spark evaluates incrementally in
-    # O(n).  A (1, unboundedFollowing) frame is re-aggregated per row —
-    # O(n²) — and hangs on month-long spines; the "next non-null" leg is
-    # therefore a growing frame over the REVERSED ordering.
-    w_prev = ord_w.rowsBetween(Window.unboundedPreceding, -1)
-    w_next = (
-        Window.partitionBy(*partition_cols)
-        .orderBy(F.desc(order_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    if segment is None:
+        ord_w = Window.partitionBy(*partition_cols).orderBy(order_col)
+        df = df.withColumn("_pos", F.row_number().over(ord_w))
+        # CRUCIAL at scale: both look-around frames must be *growing*
+        # frames (unboundedPreceding..-1), which Spark evaluates
+        # incrementally in O(n).  A (1, unboundedFollowing) frame is
+        # re-aggregated per row — O(n²) — and hangs on month-long spines;
+        # the "next non-null" leg is therefore a growing frame over the
+        # REVERSED ordering.
+        w_prev = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+        w_next = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.desc(order_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+
+        def anchors(c: str):
+            pos_nn = F.when(F.col(c).isNotNull(), F.col("_pos"))
+            return (
+                F.last(F.col(c), ignorenulls=True).over(w_prev),
+                F.last(pos_nn, ignorenulls=True).over(w_prev),
+                F.last(F.col(c), ignorenulls=True).over(w_next),
+                F.last(pos_nn, ignorenulls=True).over(w_next),
+            )
+    else:
+        seg = F.date_trunc(segment, F.col(order_col))
+        df = df.withColumn("_seg", seg)
+        P = list(partition_cols)
+        wd = Window.partitionBy(*P, "_seg").orderBy(order_col)
+        wd_prev = wd.rowsBetween(Window.unboundedPreceding, -1)
+        wd_next = (
+            Window.partitionBy(*P, "_seg")
+            .orderBy(F.desc(order_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        df = df.withColumn("_dpos", F.row_number().over(wd))
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            nn_pos = F.when(F.col(c).isNotNull(), F.col("_dpos"))
+            aggs += [
+                F.max(nn_pos).alias(f"_lp_{c}"),
+                F.max_by(F.col(c), nn_pos).alias(f"_lv_{c}"),
+                F.min(nn_pos).alias(f"_fp_{c}"),
+                F.min_by(F.col(c), nn_pos).alias(f"_fv_{c}"),
+            ]
+        summ = df.groupBy(*P, "_seg").agg(*aggs)
+        ws_fwd = Window.partitionBy(*P).orderBy("_seg")
+        ws_prev = ws_fwd.rowsBetween(Window.unboundedPreceding, -1)
+        ws_next = (
+            Window.partitionBy(*P)
+            .orderBy(F.desc("_seg"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # long, not int: the whole point is conversations too large for
+        # one task — global positions may exceed 2^31 (the plain path's
+        # int row_number cannot, because it caps a partition's rows)
+        summ = summ.withColumn(
+            "_off",
+            F.coalesce(F.sum("_n").over(ws_prev), F.lit(0)).cast("long"),
+        )
+        keep = [*P, "_seg", "_off"]
+        for c in cols:
+            cp = F.when(
+                F.col(f"_lp_{c}").isNotNull(),
+                F.struct(
+                    (F.col("_off") + F.col(f"_lp_{c}")).alias("p"),
+                    F.col(f"_lv_{c}").alias("v"),
+                ),
+            )
+            cn = F.when(
+                F.col(f"_fp_{c}").isNotNull(),
+                F.struct(
+                    (F.col("_off") + F.col(f"_fp_{c}")).alias("p"),
+                    F.col(f"_fv_{c}").alias("v"),
+                ),
+            )
+            summ = summ.withColumn(
+                f"_cp_{c}", F.last(cp, ignorenulls=True).over(ws_prev)
+            ).withColumn(f"_cn_{c}", F.last(cn, ignorenulls=True).over(ws_next))
+            keep += [f"_cp_{c}", f"_cn_{c}"]
+        df = df.join(summ.select(*keep), [*P, "_seg"])
+        df = df.withColumn("_pos", F.col("_off") + F.col("_dpos"))
+
+        def anchors(c: str):
+            nn_pos = F.when(F.col(c).isNotNull(), F.col("_dpos"))
+            vp_d = F.last(F.col(c), ignorenulls=True).over(wd_prev)
+            pp_d = F.last(nn_pos, ignorenulls=True).over(wd_prev)
+            vn_d = F.last(F.col(c), ignorenulls=True).over(wd_next)
+            pn_d = F.last(nn_pos, ignorenulls=True).over(wd_next)
+            return (
+                F.when(pp_d.isNotNull(), vp_d).otherwise(F.col(f"_cp_{c}.v")),
+                F.when(pp_d.isNotNull(), F.col("_off") + pp_d).otherwise(
+                    F.col(f"_cp_{c}.p")
+                ),
+                F.when(pn_d.isNotNull(), vn_d).otherwise(F.col(f"_cn_{c}.v")),
+                F.when(pn_d.isNotNull(), F.col("_off") + pn_d).otherwise(
+                    F.col(f"_cn_{c}.p")
+                ),
+            )
 
     any_filled = F.lit(False)
     for c in cols:
-        pos_nn = F.when(F.col(c).isNotNull(), F.col("_pos"))
-        val_prev = F.last(F.col(c), ignorenulls=True).over(w_prev)
-        pos_prev = F.last(pos_nn, ignorenulls=True).over(w_prev)
-        val_next = F.last(F.col(c), ignorenulls=True).over(w_next)
-        pos_next = F.last(pos_nn, ignorenulls=True).over(w_next)
+        val_prev, pos_prev, val_next, pos_next = anchors(c)
         d_prev = F.col("_pos") - pos_prev
         d_next = pos_next - F.col("_pos")
         interp = F.when(
@@ -143,7 +243,13 @@ def interpolate(
         if with_locf:
             df = df.withColumn(f"{c}_locf", F.coalesce(F.col(c), val_prev))
         any_filled = any_filled | (F.col(c).isNull() & filled.isNotNull())
-    return df.withColumn("gap_filled", any_filled).drop("_pos")
+    df = df.withColumn("gap_filled", any_filled).drop("_pos")
+    if segment is not None:
+        drop = ["_seg", "_dpos", "_off"] + [
+            x for c in cols for x in (f"_cp_{c}", f"_cn_{c}")
+        ]
+        df = df.drop(*drop)
+    return df
 
 
 def locf(
@@ -167,9 +273,12 @@ def locf(
 
 def gap_fill_rollup(rollup: DataFrame, tier: str = "1m", limit: int = 1) -> DataFrame:
     """End-to-end: densify → counts default 0 → LOCF + linear interp on
-    latency features (the §7.1 slice)."""
+    latency features (the §7.1 slice).  Day-segmented windows: a hot
+    conversation's grid spreads across its days instead of sorting on one
+    task (see ``interpolate(segment=...)``)."""
     dense = densify(rollup, tier)
     dense = dense.withColumn("turn_cnt", F.coalesce("turn_cnt", F.lit(0))).withColumn(
         "tool_call_cnt", F.coalesce("tool_call_cnt", F.lit(0))
     )
-    return interpolate(dense, ["latency_avg"], limit=limit, with_locf=True)
+    return interpolate(dense, ["latency_avg"], limit=limit, with_locf=True,
+                       segment="day")

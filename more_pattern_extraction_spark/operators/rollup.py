@@ -65,7 +65,17 @@ def bucket_expr(c, tier: str):
 FEATURES = ["latency"]  # numeric per-turn features rolled up
 
 
-def turn_features(df: DataFrame, latency_col: str | None = None) -> DataFrame:
+#: rows per lag-segment block — aligned with the per-task row budget in
+#: plans/partitioning (hot_keys threshold): a conversation larger than
+#: this spreads across ceil(n/SEG) window tasks instead of one
+LAG_SEG_ROWS = 100_000
+
+
+def turn_features(
+    df: DataFrame,
+    latency_col: str | None = None,
+    seg_rows: int | None = LAG_SEG_ROWS,
+) -> DataFrame:
     """Derive per-turn features from raw transcript rows.
 
     inter-turn latency = ``ts - lag(ts)`` seconds within a conversation in
@@ -73,19 +83,56 @@ def turn_features(df: DataFrame, latency_col: str | None = None) -> DataFrame:
     ``modules/preprocessing.py:259-265``); tool-call indicator from the
     nullable ``tool`` column.  Raw ``text`` passes through untouched
     (per-turn text-equality invariant).
+
+    **Skew (``seg_rows``)**: a plain ``lag() over (partition by conv_id)``
+    sorts every turn of a conversation on ONE task — the deepest
+    serialization in the engine, measured on the skew harness (a 10 M-turn
+    conversation pinned the rollup stage at 1.3 effective cores on 8,
+    scripts/SKEW_SCALING_r06.json).  The lag is a segmented scan: the
+    window partitions on ``(conv_id, turn_idx div seg_rows)`` so a hot
+    conversation's sort spreads across blocks, and the one cross-block
+    value each block's first row needs — the previous non-empty block's
+    last ``ts`` — is carried via a tiny per-(conv, block) summary (one row
+    per block, lag over blocks).  Values are exactly the unsegmented
+    lag's: within a conversation ordered by ``turn_idx``, the last row of
+    the previous non-empty block IS the immediately preceding row.
+    ``seg_rows=None`` restores the single-window form.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
     if latency_col and latency_col in df.columns:
         lat = F.col(latency_col)
-    else:
-        # the intermediate cast("timestamp") makes this work for both
-        # TIMESTAMP and TIMESTAMP_NTZ sources (Spark 4 forbids NTZ→double
-        # directly; session TZ is pinned UTC so NTZ→LTZ is deterministic)
-        sec = F.col("ts").cast("timestamp").cast("double")
+        return df.withColumn("latency", lat).withColumn(
+            "is_tool", F.col("tool").isNotNull().cast("int")
+        )
+    # the intermediate cast("timestamp") makes this work for both
+    # TIMESTAMP and TIMESTAMP_NTZ sources (Spark 4 forbids NTZ→double
+    # directly; session TZ is pinned UTC so NTZ→LTZ is deterministic)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    if not seg_rows:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
         lat = sec - F.lag(sec).over(w)
-    return df.withColumn("latency", lat).withColumn(
-        "is_tool", F.col("tool").isNotNull().cast("int")
+        return df.withColumn("latency", lat).withColumn(
+            "is_tool", F.col("tool").isNotNull().cast("int")
+        )
+    blk = F.floor(F.col("turn_idx") / F.lit(seg_rows))
+    wb = Window.partitionBy("conv_id", "_blk").orderBy("turn_idx")
+    # non-empty blocks only, so lag() over blocks skips empty turn_idx
+    # ranges correctly; summary is |rows|/seg_rows rows — scan-pruned to
+    # three columns, shuffle-joined on (conv, block) which never hot-keys
+    summ = (
+        df.groupBy(F.col("conv_id"), blk.alias("_blk"))
+        .agg(F.max_by(sec, F.col("turn_idx")).alias("_blk_last"))
     )
+    w_s = Window.partitionBy("conv_id").orderBy("_blk")
+    summ = summ.withColumn("_carry", F.lag("_blk_last").over(w_s)).drop("_blk_last")
+    out = (
+        df.withColumn("_blk", blk)
+        .join(summ, ["conv_id", "_blk"], "left")
+        .withColumn(
+            "latency", sec - F.coalesce(F.lag(sec).over(wb), F.col("_carry"))
+        )
+        .drop("_blk", "_carry")
+    )
+    return out.withColumn("is_tool", F.col("tool").isNotNull().cast("int"))
 
 
 def rollup_from_raw(turns: DataFrame, tier: str = "1m") -> DataFrame:

@@ -140,3 +140,45 @@ def test_bucket_spine_day_split_equals_full_sequence(spark):
     assert list(c1) == list(exp)
     c2 = got[got.conv_id == "c2"].bucket_start
     assert list(c2) == [pd.Timestamp("2024-02-10 12:00")]
+
+
+def test_interpolate_segmented_equals_plain(spark):
+    """Day-segmented interpolate (the hot-conversation path used by
+    gap_fill_rollup) must be bit-identical to the plain per-conversation
+    windows on every shape that stresses the carry logic: values days
+    apart, ENTIRE days of nulls (empty-segment carry), leading/trailing
+    nulls, several limits, plus the fused _locf column."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for cid in ("a", "b", "c"):
+        n = int(rng.integers(2000, 5000))  # ~1.4-3.5 days of 1m buckets
+        x = rng.normal(0, 1, n)
+        # sparsify: ~97% null, so anchors are often days apart
+        x[rng.random(n) > 0.03] = np.nan
+        if cid == "b":
+            x[: n // 2] = np.nan   # leading half (incl. whole days) null
+        if cid == "c":
+            x[n // 3:] = np.nan    # trailing days null
+        frames.append(pd.DataFrame({
+            "conv_id": cid,
+            "bucket_start": pd.date_range("2024-03-30 17:00", periods=n,
+                                          freq="1min"),
+            "x": x,
+        }))
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    for limit in (1, 7, 100000):
+        plain = (
+            G.interpolate(df, ["x"], limit=limit, with_locf=True)
+            .toPandas().sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        seg = (
+            G.interpolate(df, ["x"], limit=limit, with_locf=True,
+                          segment="day")
+            .toPandas().sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(seg[plain.columns], plain)

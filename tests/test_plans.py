@@ -111,12 +111,22 @@ def test_gapfill_is_pure_catalyst(spark, events):
     assert "EvalPython" not in p and "InPandas" not in p
 
 
-def test_feature_window_and_rollup_share_one_exchange(spark, events):
-    """turn_features' lag window partitions by conv_id; the 1m rollup
-    groups by (conv_id, bucket) — a subset-compatible clustering, so
-    Catalyst must plan the whole features→rollup path with EXACTLY ONE
-    Exchange (the window's).  A second exchange here would double the
-    shuffle volume of the north-rule headline path at 10^12 turns."""
+def test_feature_rollup_shuffles_raw_turns_once(spark, events):
+    """The features→rollup invariant, updated for the segmented lag
+    (round 6).  The OLD one-exchange plan (lag window on conv_id, agg
+    reusing the conv clustering) shuffled raw turns once but serialized a
+    hot conversation through BOTH the window sort and the entire final
+    aggregation — the skew harness measured the stage at 1.3 effective
+    cores on 8.  The new shape must hold:
+
+      * raw turns still shuffle EXACTLY ONCE, now on (conv, _blk) so a
+        hot conversation spreads across blocks;
+      * the block summary joins in as a BroadcastExchange (block rows,
+        not turns) at this size;
+      * the rollup aggregate is map-side partial BEFORE its exchange, so
+        only (conv, bucket) rows cross the wire — at 10^12 turns the
+        second exchange carries ~1/60th of the first;
+      * still zero Python nodes."""
     from more_pattern_extraction_spark.operators import rollup as R
 
     t = events.select(
@@ -126,15 +136,32 @@ def test_feature_window_and_rollup_share_one_exchange(spark, events):
         F.lit(None).cast("string").alias("tool"), "ts",
     )
     p = plan_str(R.rollup_from_raw(R.turn_features(t), "1m"), mode="simple")
-    assert p.count("Exchange hashpartitioning") == 1, p
+    # raw-volume exchanges: the ONE carrying turn rows partitions on
+    # (conv_id, _blk); the other hashpartitioning exchanges carry
+    # block-summary or partial-aggregated bucket rows only
+    assert p.count("Exchange hashpartitioning") == 4, p
+    assert len([ln for ln in p.splitlines()
+                if "Exchange hashpartitioning" in ln and "_blk#" in ln]) == 1, p
+    assert "BroadcastExchange" in p, p          # summary joins broadcast
+    assert "partial_count" in p, p              # map-side combine precedes
     assert "EvalPython" not in p
 
+    # the legacy single-window form keeps its one-exchange shape
+    p0 = plan_str(
+        R.rollup_from_raw(R.turn_features(t, seg_rows=None), "1m"),
+        mode="simple",
+    )
+    assert p0.count("Exchange hashpartitioning") == 1, p0
 
-def test_sketch_chain_single_exchange_no_python(spark, events):
+
+def test_sketch_chain_no_raw_value_shuffle_no_python(spark, events):
     """The full sketch path (build at 1m → cascade to 1h → quantile)
-    must plan as ONE exchange and zero Python nodes: bin counts combine
-    map-side, every later group-by reuses the conv_id clustering, and
-    the quantile is a Project-level fold (PLANS.md §sketch)."""
+    must keep bin counts combining map-side — every exchange after the
+    segmented-lag feature shuffle carries (conv, bucket, bin, partial
+    count) or block-summary rows, never raw turn values — and zero
+    Python nodes.  (Pre-round-6 this asserted ONE exchange total; the
+    segmented lag deliberately trades that for hot-conversation spread —
+    see test_feature_rollup_shuffles_raw_turns_once.)"""
     from more_pattern_extraction_spark.operators import rollup as R
     from more_pattern_extraction_spark.operators import sketch as SK
 
@@ -147,5 +174,13 @@ def test_sketch_chain_single_exchange_no_python(spark, events):
     feats = R.turn_features(t)
     sk = SK.sketch_quantile(SK.sketch_cascade(SK.sketch_from_raw(feats, "1m"), "1h"))
     p = plan_str(sk, mode="simple")
-    assert p.count("Exchange hashpartitioning") == 1, p
+    # one raw-turn exchange (the segmented-lag window), everything else
+    # pre-reduced: partial bin counts before their exchange
+    assert len([ln for ln in p.splitlines()
+                if "Exchange hashpartitioning" in ln and "_blk#" in ln]) == 1, p
+    assert "partial_count" in p, p
     assert "EvalPython" not in p
+    # legacy single-window form retains the original one-exchange shape
+    sk0 = SK.sketch_quantile(SK.sketch_cascade(
+        SK.sketch_from_raw(R.turn_features(t, seg_rows=None), "1m"), "1h"))
+    assert plan_str(sk0, mode="simple").count("Exchange hashpartitioning") == 1

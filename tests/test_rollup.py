@@ -133,3 +133,37 @@ def test_cascade_validates_tier_multiple(spark, transcripts):
     a = R.cascade(r1m, "5m", from_tier="1m")
     b = R.cascade(r1m, "5m")
     assert a.schema == b.schema
+
+
+def test_segmented_lag_equals_plain_window(spark, transcripts):
+    """turn_features' block-segmented lag (seg_rows) must be bit-identical
+    to the single-window form for every row, including each block's first
+    row (carry from the previous non-empty block) and each conversation's
+    first row (null).  seg_rows=7 forces many blocks on the 600-turn hot
+    conversation; turn_idx is dense here but the carry logic must also
+    survive sparse indices (empty blocks), covered by the filtered run."""
+    plain = (
+        R.turn_features(transcripts, seg_rows=None)
+        .select("conv_id", "turn_idx", "latency")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    seg = (
+        R.turn_features(transcripts, seg_rows=7)
+        .select("conv_id", "turn_idx", "latency")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(seg, plain)
+    # sparse turn_idx (empty blocks): drop idx%3==1 rows; the lag target
+    # changes (prev surviving row), but segmented must still equal plain
+    sparse = transcripts.filter("pmod(turn_idx, 3) != 1")
+    p2 = (
+        R.turn_features(sparse, seg_rows=None)
+        .select("conv_id", "turn_idx", "latency")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    s2 = (
+        R.turn_features(sparse, seg_rows=2)
+        .select("conv_id", "turn_idx", "latency")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s2, p2)
