@@ -252,6 +252,138 @@ def interpolate(
     return df
 
 
+def interpolate_dense(
+    dense: DataFrame,
+    sparse: DataFrame,
+    cols: list[str],
+    limit: int = 1,
+    step_s: int = 60,
+    partition_cols: tuple[str, ...] = ("conv_id",),
+    order_col: str = "bucket_start",
+    with_locf: bool = False,
+) -> DataFrame:
+    """Skew-spread interpolation specialized for a DENSE regular grid
+    (``gap_fill_rollup``'s shape) — same values as ``interpolate``,
+    different physics.
+
+    Two observations make this strictly cheaper than the generic
+    segmented path at any scale:
+
+      * on a ``step_s``-regular dense grid, row positions are linear in
+        time, so the formula's position differences collapse to
+        ``(t − anchor_t) / step`` — no row_number window, no per-segment
+        row-count/offset bookkeeping at all;
+      * anchors (nearest non-null left/right) only occur at rows of the
+        SPARSE pre-densify table, so the cross-day carry summary
+        aggregates ``sparse`` (rollup rows), never the exploded grid —
+        the generic path's summary branch recomputed the whole
+        densify pipeline (measured: gapfill_2d +148 % at sf0.1 because
+        column pruning made the branches' exchanges non-identical, so
+        ReusedExchange never fired).
+
+    Full-grid work: ONE (conv, day) shuffle + two within-day window
+    sorts — the same sort count as the plain per-conversation form, with
+    hot conversations spread across their days.  Everything else runs on
+    conv-day summary rows.  ``sparse`` must be the exact pre-densify
+    frame ``dense`` was built from.
+    """
+    P = list(partition_cols)
+    seg = F.date_trunc("day", F.col(order_col))
+    dense = dense.withColumn("_seg", seg)
+
+    # per-(conv, day) anchor summary from the SPARSE side
+    sp = sparse.withColumn("_seg", seg)
+    aggs = []
+    for c in cols:
+        nn_t = F.when(F.col(c).isNotNull(), F.col(order_col))
+        aggs += [
+            F.max(nn_t).alias(f"_lt_{c}"),
+            F.max_by(F.col(c), nn_t).alias(f"_lv_{c}"),
+            F.min(nn_t).alias(f"_ft_{c}"),
+            F.min_by(F.col(c), nn_t).alias(f"_fv_{c}"),
+        ]
+    summ = sp.groupBy(*P, "_seg").agg(*aggs)
+    # every grid day needs a carry row (a pure-gap day has no sparse
+    # rows): left-join the summary onto the full day range
+    bounds = sparse.groupBy(*P).agg(
+        F.min(order_col).alias("_b0"), F.max(order_col).alias("_b1")
+    )
+    dayspine = bounds.select(
+        *P,
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("_b0")),
+                F.date_trunc("day", F.col("_b1")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("_seg"),
+    )
+    summ = dayspine.join(summ, [*P, "_seg"], "left")
+    ws_prev = (
+        Window.partitionBy(*P).orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ws_next = (
+        Window.partitionBy(*P).orderBy(F.desc("_seg"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = [*P, "_seg"]
+    for c in cols:
+        cp = F.when(
+            F.col(f"_lt_{c}").isNotNull(),
+            F.struct(F.col(f"_lt_{c}").alias("t"), F.col(f"_lv_{c}").alias("v")),
+        )
+        cn = F.when(
+            F.col(f"_ft_{c}").isNotNull(),
+            F.struct(F.col(f"_ft_{c}").alias("t"), F.col(f"_fv_{c}").alias("v")),
+        )
+        summ = summ.withColumn(
+            f"_cp_{c}", F.last(cp, ignorenulls=True).over(ws_prev)
+        ).withColumn(f"_cn_{c}", F.last(cn, ignorenulls=True).over(ws_next))
+        keep += [f"_cp_{c}", f"_cn_{c}"]
+
+    out = dense.join(summ.select(*keep), [*P, "_seg"])
+    wd_prev = (
+        Window.partitionBy(*P, "_seg").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wd_next = (
+        Window.partitionBy(*P, "_seg").orderBy(F.desc(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_sec = F.col(order_col).cast("timestamp").cast("double")
+    any_filled = F.lit(False)
+    for c in cols:
+        nn_t = F.when(F.col(c).isNotNull(), F.col(order_col))
+        tp_d = F.last(nn_t, ignorenulls=True).over(wd_prev)
+        vp_d = F.last(F.col(c), ignorenulls=True).over(wd_prev)
+        tn_d = F.last(nn_t, ignorenulls=True).over(wd_next)
+        vn_d = F.last(F.col(c), ignorenulls=True).over(wd_next)
+        val_prev = F.when(tp_d.isNotNull(), vp_d).otherwise(F.col(f"_cp_{c}.v"))
+        t_prev = F.when(tp_d.isNotNull(), tp_d).otherwise(F.col(f"_cp_{c}.t"))
+        val_next = F.when(tn_d.isNotNull(), vn_d).otherwise(F.col(f"_cn_{c}.v"))
+        t_next = F.when(tn_d.isNotNull(), tn_d).otherwise(F.col(f"_cn_{c}.t"))
+        # exact small integers as doubles: bit-identical arithmetic to the
+        # int position differences of the plain path
+        d_prev = (t_sec - t_prev.cast("timestamp").cast("double")) / step_s
+        d_next = (t_next.cast("timestamp").cast("double") - t_sec) / step_s
+        interp = F.when(
+            val_prev.isNotNull() & val_next.isNotNull(),
+            val_prev + (val_next - val_prev) * d_prev / (d_next + d_prev),
+        ).when(val_prev.isNotNull(), val_prev).otherwise(val_next)
+        in_limit = (
+            (t_prev.isNotNull() & (d_prev <= limit))
+            | (t_next.isNotNull() & (d_next <= limit))
+        )
+        filled = F.when(F.col(c).isNotNull(), F.col(c)).when(in_limit, interp)
+        out = out.withColumn(f"{c}_filled", filled)
+        if with_locf:
+            out = out.withColumn(f"{c}_locf", F.coalesce(F.col(c), val_prev))
+        any_filled = any_filled | (F.col(c).isNull() & filled.isNotNull())
+    drop = ["_seg"] + [x for c in cols for x in (f"_cp_{c}", f"_cn_{c}")]
+    return out.withColumn("gap_filled", any_filled).drop(*drop)
+
+
 def locf(
     df: DataFrame,
     cols: list[str],
@@ -273,12 +405,12 @@ def locf(
 
 def gap_fill_rollup(rollup: DataFrame, tier: str = "1m", limit: int = 1) -> DataFrame:
     """End-to-end: densify → counts default 0 → LOCF + linear interp on
-    latency features (the §7.1 slice).  Day-segmented windows: a hot
-    conversation's grid spreads across its days instead of sorting on one
-    task (see ``interpolate(segment=...)``)."""
+    latency features (the §7.1 slice).  Day-segmented dense-grid windows
+    (``interpolate_dense``): a hot conversation's grid spreads across its
+    days instead of sorting on one task, at the plain form's sort count."""
     dense = densify(rollup, tier)
     dense = dense.withColumn("turn_cnt", F.coalesce("turn_cnt", F.lit(0))).withColumn(
         "tool_call_cnt", F.coalesce("tool_call_cnt", F.lit(0))
     )
-    return interpolate(dense, ["latency_avg"], limit=limit, with_locf=True,
-                       segment="day")
+    return interpolate_dense(dense, rollup, ["latency_avg"], limit=limit,
+                             step_s=_SECONDS[tier], with_locf=True)

@@ -182,3 +182,29 @@ def test_interpolate_segmented_equals_plain(spark):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(seg[plain.columns], plain)
+
+
+def test_interpolate_dense_equals_plain(spark, transcripts):
+    """gap_fill_rollup's dense-grid skew path (interpolate_dense: anchor
+    times instead of row positions, sparse-side carry summary) must be
+    bit-identical to the plain per-conversation interpolate on the same
+    densified grid — filled values, _locf, and gap_filled flags."""
+    from pyspark.sql import functions as F
+
+    r1m = R.rollup_from_raw(R.turn_features(transcripts), "1m")
+    dense = G.densify(r1m, "1m")
+    dense = dense.withColumn("turn_cnt", F.coalesce("turn_cnt", F.lit(0))) \
+                 .withColumn("tool_call_cnt", F.coalesce("tool_call_cnt", F.lit(0)))
+    for limit in (1, 10):
+        plain = (
+            G.interpolate(dense, ["latency_avg"], limit=limit, with_locf=True)
+            .toPandas().sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        got = (
+            G.interpolate_dense(dense, r1m, ["latency_avg"], limit=limit,
+                                step_s=60, with_locf=True)
+            .toPandas().sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[plain.columns], plain)
