@@ -111,6 +111,35 @@ def test_gapfill_is_pure_catalyst(spark, events):
     assert "EvalPython" not in p and "InPandas" not in p
 
 
+def test_gapfill_dense_grid_generated_once(spark, events):
+    """Regression lock for the round-6 gapfill_2d +148 % incident: the
+    day-segmented interpolate's carry summary re-aggregated the exploded
+    grid, and column pruning made the two branches' subtrees differ, so
+    ReusedExchange never fired and the densify pipeline (minute-grid
+    explode + left join) computed TWICE.  ``interpolate_dense`` summarizes
+    the SPARSE pre-densify rollup instead, so the minute-grid Generate
+    must appear exactly once in the plan — the only other Generate is the
+    day-spine (interval 1 day, bounds rows only).  PLANS.md §Gap-fill."""
+    from more_pattern_extraction_spark.operators import gapfill as G
+
+    r1m = events.groupBy(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.date_trunc("minute", "ts").alias("bucket_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("turn_cnt"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("tool_call_cnt"),
+        F.sum("value").alias("latency_sum"),
+        F.count("value").alias("latency_cnt"),
+        F.avg("value").alias("latency_avg"),
+    )
+    p = plan_str(G.gap_fill_rollup(r1m, "1m"), mode="simple")
+    gen = [ln for ln in p.splitlines() if "Generate explode" in ln]
+    minute_grid = [ln for ln in gen if "'60' SECOND" in ln or "60 seconds" in ln]
+    assert len(minute_grid) == 1, p  # grid explode computes once, ever
+    # remaining Generates are day-spines only (densify + segmented-lag seg spine)
+    assert len(gen) <= 3, p
+
+
 def test_feature_rollup_shuffles_raw_turns_once(spark, events):
     """The features→rollup invariant, updated for the segmented lag
     (round 6).  The OLD one-exchange plan (lag window on conv_id, agg
