@@ -74,7 +74,7 @@ LAG_SEG_ROWS = 100_000
 def turn_features(
     df: DataFrame,
     latency_col: str | None = None,
-    seg_rows: int | None = LAG_SEG_ROWS,
+    seg_rows: int | str | None = "auto",
 ) -> DataFrame:
     """Derive per-turn features from raw transcript rows.
 
@@ -97,12 +97,32 @@ def turn_features(
     lag's: within a conversation ordered by ``turn_idx``, the last row of
     the previous non-empty block IS the immediately preceding row.
     ``seg_rows=None`` restores the single-window form.
+
+    **Auto gate (default)**: the segmented form pays a real premium on
+    NON-skew data (extra 3-column scan + block-summary join; measured on
+    the 100 M-turn north input, scripts/SEG_OVERHEAD_r06.json) that buys
+    nothing when no conversation spans more than one block.  That
+    condition has an exact, cheap witness: ``turn_idx`` is the per-
+    conversation index, so ``max(turn_idx) < LAG_SEG_ROWS`` ⟹ every row
+    has block 0 ⟹ the segmented plan degenerates to the plain window
+    (bit-identical by the degenerate-block argument above).
+    ``seg_rows="auto"`` runs that one pruned single-column aggregate up
+    front and picks the plain window unless some conversation actually
+    crosses the threshold.  At 100 TB the probe scans one int column
+    (~1 % of table bytes, column-pruned); callers that already know the
+    shape (catalog stats, repeated queries) pass an explicit int/None
+    and skip it.  Eager caveat: "auto" triggers one Spark job at
+    plan-build time — never used on streaming frames (no streaming call
+    site; streaming rollup derives latency upstream).
     """
     if latency_col and latency_col in df.columns:
         lat = F.col(latency_col)
         return df.withColumn("latency", lat).withColumn(
             "is_tool", F.col("tool").isNotNull().cast("int")
         )
+    if seg_rows == "auto":
+        mx = df.agg(F.max("turn_idx")).first()[0]
+        seg_rows = LAG_SEG_ROWS if (mx or 0) >= LAG_SEG_ROWS else None
     # the intermediate cast("timestamp") makes this work for both
     # TIMESTAMP and TIMESTAMP_NTZ sources (Spark 4 forbids NTZ→double
     # directly; session TZ is pinned UTC so NTZ→LTZ is deterministic)

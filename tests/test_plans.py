@@ -164,7 +164,10 @@ def test_feature_rollup_shuffles_raw_turns_once(spark, events):
         F.lit("user").alias("role"), F.lit("x").alias("text"),
         F.lit(None).cast("string").alias("tool"), "ts",
     )
-    p = plan_str(R.rollup_from_raw(R.turn_features(t), "1m"), mode="simple")
+    p = plan_str(
+        R.rollup_from_raw(R.turn_features(t, seg_rows=R.LAG_SEG_ROWS), "1m"),
+        mode="simple",
+    )
     # raw-volume exchanges: the ONE carrying turn rows partitions on
     # (conv_id, _blk); the other hashpartitioning exchanges carry
     # block-summary or partial-aggregated bucket rows only
@@ -200,7 +203,7 @@ def test_sketch_chain_no_raw_value_shuffle_no_python(spark, events):
         F.lit("user").alias("role"), F.lit("x").alias("text"),
         F.lit(None).cast("string").alias("tool"), "ts",
     )
-    feats = R.turn_features(t)
+    feats = R.turn_features(t, seg_rows=R.LAG_SEG_ROWS)
     sk = SK.sketch_quantile(SK.sketch_cascade(SK.sketch_from_raw(feats, "1m"), "1h"))
     p = plan_str(sk, mode="simple")
     # one raw-turn exchange (the segmented-lag window), everything else

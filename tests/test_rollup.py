@@ -4,6 +4,7 @@ the cascade re-aggregation identity (FIXTURES.md §3)."""
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from more_pattern_extraction_spark.operators import rollup as R
 
@@ -167,3 +168,41 @@ def test_segmented_lag_equals_plain_window(spark, transcripts):
         .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(s2, p2)
+
+
+def test_auto_seg_gate_picks_plan_by_max_turn_idx(spark, transcripts):
+    """seg_rows="auto" (the default) must choose the PLAIN window when no
+    conversation can span more than one lag block (max per-conv turn_idx
+    below LAG_SEG_ROWS — the exact degenerate-block witness) and the
+    SEGMENTED scan when one does; both choices stay value-identical to
+    the explicit forms.  The premium this gate avoids on uniform data is
+    measured in scripts/SEG_OVERHEAD_r06.json."""
+    # small input: every turn_idx < LAG_SEG_ROWS -> plain single-window plan
+    auto_small = R.turn_features(transcripts)
+    plain = R.turn_features(transcripts, seg_rows=None)
+    p_auto = auto_small._jdf.queryExecution().executedPlan().toString()
+    assert "_blk" not in p_auto
+    pd.testing.assert_frame_equal(
+        auto_small.select("conv_id", "turn_idx", "latency").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        plain.select("conv_id", "turn_idx", "latency").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+    # one conversation crossing the threshold flips the whole input to the
+    # segmented scan (per-conv index is the witness, not row count)
+    hot = transcripts.withColumn(
+        "turn_idx",
+        F.when(F.col("conv_id") == "conv_00000",
+               F.col("turn_idx") + F.lit(R.LAG_SEG_ROWS)).otherwise(
+            F.col("turn_idx")),
+    )
+    auto_hot = R.turn_features(hot)
+    p_hot = auto_hot._jdf.queryExecution().executedPlan().toString()
+    assert "_blk" in p_hot
+    seg = R.turn_features(hot, seg_rows=R.LAG_SEG_ROWS)
+    pd.testing.assert_frame_equal(
+        auto_hot.select("conv_id", "turn_idx", "latency").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        seg.select("conv_id", "turn_idx", "latency").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
