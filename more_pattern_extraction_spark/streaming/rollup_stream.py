@@ -11,9 +11,10 @@ overwrite of the epoch's touched partitions).
 
 Late turns: ``withWatermark(ts, delay)`` holds per-(conv, minute) state
 open for `delay`; later-than-watermark turns are dropped from the stream
-tier and reconciled by the nightly batch re-rollup of the affected ts_day
-partitions (the classic lambda repair — checkpointed units make the
-repair incremental).
+tier and reconciled by ``plans.repair.repair_late_turns`` — the batch
+repair recomputes ONLY the (conv_bucket, ts_day) partitions a late turn
+can reach (the classic lambda repair; bit-equal to a cold rerun,
+tests/test_repair.py).
 
 Inter-turn latency (a lag over the conversation) is not computable with a
 bounded-state stream window without event reordering; the streaming tier

@@ -1,0 +1,130 @@
+"""Incremental late-data repair (plans/repair.py): ontime-run + repair
+must be bit-identical to a cold full run on EVERY tier table, while only
+the provably-affected (conv_bucket, ts_day) partitions are rewritten."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.plans.pipeline import run_pipeline
+from more_pattern_extraction_spark.plans.repair import affected_units, repair_late_turns
+from more_pattern_extraction_spark.sources import catalog as CAT
+
+TABLES = ["rollup_1m", "rollup_1m_filled", "chunks_1m", "rollup_1h", "rollup_1d"]
+
+
+def _table_digest(spark, root, name):
+    df = CAT.read_table(spark, root, name)
+    cols = sorted(c for c in df.columns if c != "tier")
+    return (
+        df.select(
+            F.sum(
+                F.pmod(
+                    F.xxhash64(*[F.col(c).cast("string") for c in cols]),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+    )
+
+
+def _partition_files(root, name):
+    """{partition-dir relpath: {(file, size, mtime_ns)}} for a tier table."""
+    base = os.path.join(root, name)
+    out = {}
+    for dirpath, _dirs, files in os.walk(base):
+        rel = os.path.relpath(dirpath, base)
+        data = {
+            (f, os.stat(os.path.join(dirpath, f)).st_size,
+             os.stat(os.path.join(dirpath, f)).st_mtime_ns)
+            for f in files if f.endswith(".parquet")
+        }
+        if data:
+            out[rel] = data
+    return out
+
+
+def _late_predicate():
+    # a mid-conversation turn (splits an interpolation run / shifts the
+    # successor's lag latency) + the final turns of another conversation
+    # (extends the gap-fill grid past the old max bucket)
+    return (
+        ((F.col("conv_id") == "conv_00003") & (F.col("turn_idx") == 7))
+        | ((F.col("conv_id") == "conv_00005") & (F.col("turn_idx") >= 20))
+    )
+
+
+@pytest.fixture(scope="module")
+def split(transcripts):
+    late = transcripts.filter(_late_predicate()).cache()
+    ontime = transcripts.filter(~_late_predicate()).cache()
+    assert late.count() > 0 and ontime.count() > 0
+    return ontime, late
+
+
+def test_repair_equals_cold_run_and_is_incremental(spark, transcripts, split, tmp_path):
+    ontime, late = split
+    cold = str(tmp_path / "cold")
+    out = str(tmp_path / "out")
+    run_pipeline(spark, transcripts, cold, input_snapshot="s_full", n_buckets=8)
+    run_pipeline(spark, ontime, out, input_snapshot="s_ontime", n_buckets=8)
+
+    units = {
+        (r["conv_bucket"], str(r["ts_day"]))
+        for r in affected_units(transcripts, late, 8).collect()
+    }
+    assert units, "late turns must map to at least one affected unit"
+    before = {t: _partition_files(out, t) for t in TABLES}
+
+    m = repair_late_turns(
+        spark, transcripts, late, out,
+        input_snapshot="s_merged", prior_snapshot="s_ontime", n_buckets=8,
+    )
+    assert m["units_repaired"] == len(units)
+    assert m["late_turns"] == late.count()
+
+    # every tier bit-identical to the cold full run
+    for t in TABLES:
+        assert _table_digest(spark, out, t) == _table_digest(spark, cold, t), t
+
+    # incrementality: partitions OUTSIDE the affected unit set untouched
+    # (same files, sizes, mtimes); at least one affected partition rewritten
+    touched = {f"conv_bucket={b}/ts_day={d}" for b, d in units}
+    for t in TABLES:
+        after = _partition_files(out, t)
+        for part, files in before[t].items():
+            if part not in touched:
+                assert after.get(part) == files, f"{t}/{part} was rewritten"
+        changed = [p for p in after if p in touched and after[p] != before[t].get(p)]
+        assert changed, f"{t}: no affected partition rewritten"
+
+    # checkpoint certifies the merged snapshot: resume is a no-op
+    m2 = run_pipeline(spark, transcripts, out, input_snapshot="s_merged", n_buckets=8)
+    assert m2["units_done"] == 0
+
+    # repair lineage + metrics recorded
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.filter(F.col("job") == "late_repair").count() > 0
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.filter(F.col("job") == "late_repair").count() == 1
+
+
+def test_affected_units_bounds(spark, transcripts, split):
+    _ontime, late = split
+    units = affected_units(transcripts, late, 8)
+    rows = units.collect()
+    # bounded: a handful of (bucket, day) units, never the whole table
+    all_units = (
+        CAT.with_layout_cols(transcripts, 8)
+        .select("conv_bucket", "ts_day").distinct().count()
+    )
+    assert 0 < len(rows) < all_units
+    # every late turn's own (bucket, day) is included
+    late_units = {
+        (r["conv_bucket"], r["ts_day"])
+        for r in CAT.with_layout_cols(late, 8)
+        .select("conv_bucket", "ts_day").distinct().collect()
+    }
+    assert late_units <= {(r["conv_bucket"], r["ts_day"]) for r in rows}
