@@ -5,9 +5,15 @@ transcript feeds).
 ``readStream`` over a transcript source → watermarked 1-minute tumbling
 windows → the same exact partials the batch rollup carries (so the batch
 cascade and chunk encoder work unchanged on streaming output), written via
-``foreachBatch`` into the same partitioned layout (exactly-once per
-micro-batch epoch: the sink dedupes on epoch id via dynamic partition
-overwrite of the epoch's touched partitions).
+``foreachBatch`` into a partitioned tier table
+(``stream_rollup_to_table``): append mode emits each finalized
+(conv, minute) group exactly once after the watermark passes it, so
+epochs are ROW-DISJOINT and the tier is the plain union of epoch dirs —
+no cross-epoch merge.  Exactly-once per micro-batch epoch: each epoch
+writes to a temp dir and atomically renames it to ``epoch=<id>``; a
+replayed epoch (restart re-delivers the last uncommitted batch) finds
+its dir already present and skips — the same commit-by-rename protocol
+Iceberg replaces with a snapshot commit.
 
 Late turns: ``withWatermark(ts, delay)`` holds per-(conv, minute) state
 open for `delay`; later-than-watermark turns are dropped from the stream
@@ -122,3 +128,90 @@ def streaming_sketch_entries_1m(
             "conv_id", F.col("win.start").alias("bucket_start"), "bin", "cnt"
         )
     )
+
+
+def stream_rollup_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    out_root: str,
+    name: str = "rollup_1m_stream",
+    watermark: str = "10 minutes",
+    latency_col: str | None = None,
+    n_buckets: int = 32,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Run the watermarked 1m rollup into a partitioned tier table
+    (module docstring: the production append + foreachBatch path).
+
+    Layout: ``{out_root}/{name}/epoch=<id>/conv_bucket=<b>/ts_day=<d>/``
+    — epoch is an extra leading partition level, so a read of the table
+    root sees the union of epochs with an ``epoch`` lineage column
+    (``read_stream_tier`` drops it).  Append-mode rows are disjoint
+    across epochs, so the union IS the tier.
+
+    Exactly-once: the sink writes the epoch under ``_tmp_epoch_<id>``
+    and ``os.rename``s it into place (atomic on one filesystem); if the
+    epoch dir already exists the batch is a detected replay and skipped.
+    Empty epochs (watermark advance without finalized groups) write
+    nothing.
+    """
+    import os
+    import shutil
+
+    from more_pattern_extraction_spark.sources import catalog as CAT
+
+    table = CAT.table_path(out_root, name)
+    os.makedirs(table, exist_ok=True)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        final = os.path.join(table, f"epoch={epoch_id}")
+        if os.path.exists(final):
+            # replayed epoch → already committed.  Still drain the plan:
+            # Spark 4 validates that every state-store partition commits
+            # each batch (StateStoreCoordinator); an unconsumed batch_df
+            # fails the query with STREAM_FAILED.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        if batch_df.count() == 0:  # count() (not isEmpty) — full
+            return                 # execution commits all state partitions
+        out = CAT.with_layout_cols(batch_df, n_buckets)
+        tmp = os.path.join(table, f"_tmp_epoch_{epoch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            out.repartition("conv_bucket", "ts_day")
+            .write.mode("overwrite")
+            .partitionBy("conv_bucket", "ts_day")
+            .parquet(tmp)
+        )
+        os.rename(tmp, final)
+
+    stream = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
+    agg = streaming_rollup_1m(stream.parquet(source_dir), watermark, latency_col)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
+def read_stream_tier(spark: SparkSession, out_root: str, name: str = "rollup_1m_stream") -> DataFrame:
+    """Union of committed epochs, lineage column dropped.  In-flight
+    ``_tmp_epoch_*`` dirs are invisible: ``epoch=<id>`` only exists
+    post-rename, so readers never see a partial epoch."""
+    import os
+
+    from more_pattern_extraction_spark.sources import catalog as CAT
+
+    path = CAT.table_path(out_root, name)
+    if not any(e.startswith("epoch=") for e in os.listdir(path)):
+        raise FileNotFoundError(f"no committed epochs under {path}")
+    return spark.read.parquet(path).drop("epoch")

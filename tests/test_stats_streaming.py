@@ -421,3 +421,97 @@ def test_streaming_sketch_entries_match_batch(spark, transcripts, tmp_path):
         (ents("g") != ents("e"))
         | F.col("g.latency_sketch").isNull() | F.col("e.latency_sketch").isNull()
     ).count() == 0
+
+
+def test_stream_tier_epoch_commit_late_drop_and_replay(spark, tmp_path):
+    """stream_rollup_to_table: epoch-dir commit protocol — finalized
+    groups land exactly once, the later-than-watermark row is dropped
+    (repair's job, plans/repair.py), and a full replay (fresh stream
+    checkpoint over committed epoch dirs) changes nothing."""
+    import glob
+    import os
+    import shutil
+
+    from more_pattern_extraction_spark.streaming.rollup_stream import (
+        read_stream_tier,
+        stream_rollup_to_table,
+    )
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    rows0 = [  # batch 0: day-1 traffic; max ts 10:01:10
+        ("a", 0, "user", "t", None, "2024-01-01 10:00:05"),
+        ("a", 1, "assistant", "t", "search", "2024-01-01 10:00:30"),
+        ("a", 2, "user", "t", None, "2024-01-01 10:01:10"),
+        ("b", 0, "user", "t", None, "2024-01-01 10:00:20"),
+    ]
+    rows1 = [  # batch 1: day-2 traffic; finalizes + evicts day-1 state
+        ("a", 4, "user", "t", None, "2024-01-02 09:30:10"),
+        ("b", 1, "assistant", "t", "code", "2024-01-02 09:30:40"),
+    ]
+    late = ("a", 3, "user", "late", None, "2024-01-01 10:00:50")
+    sentinel = [  # batch 2: flush row + a late day-1 turn whose window
+        # state was evicted in batch 1 → guaranteed watermark drop (a
+        # same-batch late row would still find live state and merge)
+        ("zz", 0, "user", "flush", None, "2024-01-05 00:00:00"),
+        late,
+    ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    raw_schema = schema.replace("ts timestamp", "ts string")
+    for i, rows in enumerate([rows0, rows1, sentinel]):
+        df = spark.createDataFrame(rows, raw_schema).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, os.path.join(src, f"f{i}.parquet"))  # mtime order = i
+
+    out = str(tmp_path / "tier")
+    stream_rollup_to_table(
+        spark, src, schema, out, watermark="0 seconds", n_buckets=4,
+        checkpoint_dir=str(tmp_path / "cp1"), max_files_per_trigger=1,
+    )
+
+    got = read_stream_tier(spark, out, "rollup_1m_stream")
+    assert "epoch" not in got.columns
+    with_epoch = spark.read.parquet(f"{out}/rollup_1m_stream")
+    n_epochs = with_epoch.select("epoch").distinct().count()
+    assert n_epochs >= 2  # finalized groups emitted across multiple epochs
+
+    # expected: everything except the dropped late row and the
+    # never-finalized sentinel window
+    exp_rows = rows0 + rows1
+    exp = (
+        spark.createDataFrame(exp_rows, raw_schema)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("conv_id", F.date_trunc("minute", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("turn_cnt"),
+             F.sum(F.col("tool").isNotNull().cast("int")).alias("tool_call_cnt"))
+    )
+    got_n = got.select("conv_id", "bucket_start", "turn_cnt", "tool_call_cnt")
+    assert got_n.exceptAll(exp).count() == 0 and exp.exceptAll(got_n).count() == 0
+    # the late row was DROPPED, not merged: its minute keeps count 2
+    assert got.filter(
+        (F.col("conv_id") == "a")
+        & (F.col("bucket_start") == "2024-01-01 10:00:00")
+    ).head()["turn_cnt"] == 2
+    # each group exactly once across epochs (append-mode disjointness)
+    assert got.groupBy("conv_id", "bucket_start").count().filter("count > 1").count() == 0
+
+    # replay: fresh stream checkpoint reprocesses every file; every epoch
+    # dir already exists → all skipped, tier bit-unchanged
+    files_before = {
+        (p, os.stat(p).st_mtime_ns)
+        for p in glob.glob(f"{out}/rollup_1m_stream/**/*.parquet", recursive=True)
+    }
+    stream_rollup_to_table(
+        spark, src, schema, out, watermark="0 seconds", n_buckets=4,
+        checkpoint_dir=str(tmp_path / "cp2"), max_files_per_trigger=1,
+    )
+    files_after = {
+        (p, os.stat(p).st_mtime_ns)
+        for p in glob.glob(f"{out}/rollup_1m_stream/**/*.parquet", recursive=True)
+    }
+    assert files_before == files_after
