@@ -127,6 +127,7 @@ def repair_late_turns(
     prior_snapshot: str | None = None,
     n_buckets: int = 32,
     latency_col: str | None = None,
+    retention: dict[str, str] | None = None,
 ) -> dict:
     """Reconcile late-arriving turns into the tier tables in place.
 
@@ -137,12 +138,46 @@ def repair_late_turns(
     repair, every tier table is bit-identical to a cold full run on
     ``merged_turns`` (tests/test_repair.py proves it per table) and the
     checkpoint table certifies ``input_snapshot`` completely.
+
+    ``retention`` (same shape as ``run_pipeline``'s, tier → horizon):
+    units older than the 1m horizon are NOT written back — without the
+    filter a repair would resurrect partitions retention already dropped
+    (the recompute reads raw, which still has the turns).  They are
+    counted in ``units_skipped_retention``.  Two honest consequences of
+    cascading retention, by design: (a) a coarse-tier row whose finer
+    source days were dropped is left untouched (stale-by-policy — it
+    cannot be recomputed tier-consistently without the finer rows, and
+    dynamic overwrite only replaces partitions the cascade actually
+    emits); (b) gap-fill values just inside the horizon whose
+    interpolation anchors fell outside it are recomputed from the
+    RETAINED 1m tier, i.e. they match a cold run on the retained data,
+    not a cold run on all-time data — the same thing any engine must
+    choose once source rows are deleted by policy.
     """
     t0 = time.time()
     cp = CheckpointStore(spark, out_root)
 
     units = affected_units(merged_turns, late_turns, n_buckets).cache()
+    n_all_units = units.count()
+    hor_1m = (retention or {}).get("1m")
+    if hor_1m:
+        units = units.filter(
+            F.col("ts_day") >= F.lit(hor_1m[:10]).cast("date")
+        ).cache()
     n_units = units.count()
+    if n_units == 0:  # everything outside the retention horizon
+        m = {
+            "wall_s": time.time() - t0,
+            "late_turns": float(late_turns.count()),
+            "units_repaired": 0.0,
+            "units_carried": 0.0,
+            "units_skipped_retention": float(n_all_units),
+            "buckets_touched": 0.0,
+        }
+        cp.record_metrics(JOB, **m)
+        units.unpersist()
+        return m
+
     buckets = [r[0] for r in units.select("conv_bucket").distinct().collect()]
 
     # whole conversations of the affected buckets (conv_bucket is a
@@ -195,13 +230,20 @@ def repair_late_turns(
     # --- cascades: day-aligned tiers → re-aggregate affected days only -----
     sk_cols = ["conv_id", "bucket_start", "latency_sketch"]
     base_aff = _only_units(base, units)
+    def _within_horizon(df: DataFrame, tier: str) -> DataFrame:
+        hor = (retention or {}).get(tier)
+        if not hor:
+            return df
+        return df.filter(F.col("ts_day") >= F.lit(hor[:10]).cast("date"))
+
     r1h = SK.attach_sketch_p95(
         R.cascade(base_aff, "1h", from_tier="1m"),
         SK.sketch_cascade(base_aff.select(*sk_cols), "1h"),
         keep_sketch=True,
     )
     CAT.write_partitioned(
-        CAT.with_layout_cols(r1h, n_buckets), out_root, "rollup_1h",
+        _within_horizon(CAT.with_layout_cols(r1h, n_buckets), "1h"),
+        out_root, "rollup_1h",
         sort_cols=("conv_id", "bucket_start"),
     )
     base_h_aff = _only_units(
@@ -216,7 +258,8 @@ def repair_late_turns(
         keep_sketch=True,
     )
     CAT.write_partitioned(
-        CAT.with_layout_cols(r1d, n_buckets), out_root, "rollup_1d",
+        _within_horizon(CAT.with_layout_cols(r1d, n_buckets), "1d"),
+        out_root, "rollup_1d",
         sort_cols=("conv_id", "bucket_start"),
     )
 
@@ -249,6 +292,7 @@ def repair_late_turns(
         "late_turns": float(n_late),
         "units_repaired": float(n_units),
         "units_carried": float(n_carried),
+        "units_skipped_retention": float(n_all_units - n_units),
         "buckets_touched": float(len(buckets)),
     }
     cp.record_metrics(JOB, **m)

@@ -128,3 +128,46 @@ def test_affected_units_bounds(spark, transcripts, split):
         .select("conv_bucket", "ts_day").distinct().collect()
     }
     assert late_units <= {(r["conv_bucket"], r["ts_day"]) for r in rows}
+
+
+def test_repair_respects_retention(spark, transcripts, tmp_path):
+    """A repair must not resurrect partitions retention already dropped
+    (the recompute reads raw, which still holds the old turns); units
+    older than the 1m horizon are skipped and counted."""
+    horizon = "2024-01-03 00:00:00"
+    ret = {"1m": horizon}
+    # one late turn before the horizon (skipped), one after (repaired)
+    old_pred = (F.col("conv_id") == "conv_00003") & (F.col("turn_idx") == 2)
+    new_src = transcripts.filter(
+        (F.col("conv_id") == "conv_00000") & (F.col("ts") >= horizon)
+    ).orderBy("turn_idx").limit(1)
+    new_key = [(r["conv_id"], r["turn_idx"]) for r in new_src.collect()]
+    assert new_key, "fixture must have post-horizon turns"
+    pred = old_pred | (
+        (F.col("conv_id") == new_key[0][0]) & (F.col("turn_idx") == new_key[0][1])
+    )
+    late, ontime = transcripts.filter(pred), transcripts.filter(~pred)
+    assert late.count() == 2
+    assert late.filter(F.col("ts") < horizon).count() >= 1
+
+    cold, out = str(tmp_path / "cold"), str(tmp_path / "out")
+    run_pipeline(spark, transcripts, cold, input_snapshot="sf", n_buckets=8,
+                 retention=ret)
+    run_pipeline(spark, ontime, out, input_snapshot="so", n_buckets=8,
+                 retention=ret)
+
+    m = repair_late_turns(
+        spark, transcripts, late, out, input_snapshot="sm",
+        prior_snapshot="so", n_buckets=8, retention=ret,
+    )
+    assert m["units_skipped_retention"] >= 1
+    assert m["units_repaired"] >= 1
+
+    # no resurrection: nothing before the horizon came back
+    r1m = CAT.read_table(spark, out, "rollup_1m")
+    assert r1m.filter(f"ts_day < date '{horizon[:10]}'").count() == 0
+
+    # the raw-derived tier matches a cold retained run exactly
+    assert _table_digest(spark, out, "rollup_1m") == _table_digest(
+        spark, cold, "rollup_1m"
+    )
