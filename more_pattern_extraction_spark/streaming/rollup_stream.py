@@ -167,7 +167,7 @@ def stream_rollup_to_table(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         final = os.path.join(table, f"epoch={epoch_id}")
-        if os.path.exists(final):
+        if os.path.exists(final) or epoch_id in _absorbed_ids(table):
             # replayed epoch → already committed.  Still drain the plan:
             # Spark 4 validates that every state-store partition commits
             # each batch (StateStoreCoordinator); an unconsumed batch_df
@@ -203,15 +203,122 @@ def stream_rollup_to_table(
     return q
 
 
+def _absorbed_ids(table: str) -> set[int]:
+    """Epoch ids absorbed by committed compaction generations: the union
+    of the ``_absorbs.json`` manifests inside every ``epoch=<gen>`` dir
+    (written by ``compact_stream_tier`` INSIDE the tmp dir, so the
+    manifest commits atomically with the generation's rename)."""
+    import json
+    import os
+
+    absorbed: set[int] = set()
+    for e in os.listdir(table):
+        man = os.path.join(table, e, "_absorbs.json")
+        if e.startswith("epoch=") and os.path.exists(man):
+            with open(man) as f:
+                absorbed.update(json.load(f))
+    return absorbed
+
+
 def read_stream_tier(spark: SparkSession, out_root: str, name: str = "rollup_1m_stream") -> DataFrame:
     """Union of committed epochs, lineage column dropped.  In-flight
     ``_tmp_epoch_*`` dirs are invisible: ``epoch=<id>`` only exists
-    post-rename, so readers never see a partial epoch."""
+    post-rename, so readers never see a partial epoch.  Epochs named in
+    a committed compaction manifest are filtered out even if their dirs
+    still exist (the crash window between a generation's rename and the
+    source-dir deletion) — a partition-pruning NOT IN on the epoch
+    column, so absorbed dirs contribute zero input splits."""
     import os
+
+    from pyspark.sql import functions as _F
 
     from more_pattern_extraction_spark.sources import catalog as CAT
 
     path = CAT.table_path(out_root, name)
     if not any(e.startswith("epoch=") for e in os.listdir(path)):
         raise FileNotFoundError(f"no committed epochs under {path}")
-    return spark.read.parquet(path).drop("epoch")
+    df = spark.read.parquet(path)
+    absorbed = _absorbed_ids(path)
+    if absorbed:
+        df = df.filter(~_F.col("epoch").isin(sorted(absorbed)))
+    return df.drop("epoch")
+
+
+def compact_stream_tier(
+    spark: SparkSession,
+    out_root: str,
+    name: str = "rollup_1m_stream",
+    files_per_partition: int = 1,
+) -> dict:
+    """Merge committed epoch dirs into one compaction generation — the
+    stream tier's small-file maintenance job (a per-minute trigger makes
+    1440 epoch dirs/day; Iceberg calls this ``rewrite_data_files``).
+
+    Crash-safe commit protocol (single atomic rename, like the sink):
+
+    1. snapshot the LIVE epoch ids (committed dirs minus already-absorbed);
+    2. write their union to a tmp dir partitioned by
+       ``(conv_bucket, ts_day)`` with the hash write distribution;
+    3. drop ``_absorbs.json`` (the live id list) INSIDE the tmp dir;
+    4. ``os.rename`` tmp → ``epoch=<gen>`` (gen = next negative int —
+       stream batch ids are non-negative, so generations never collide);
+    5. delete the absorbed source dirs.
+
+    A crash before (4) leaves only an invisible tmp.  A crash between
+    (4) and (5) leaves both the generation and its sources — readers
+    filter absorbed ids via the manifest (no double counting) and the
+    sink treats manifested ids as committed (no replay duplicates);
+    rerunning the compaction finishes the deletes because absorbed ids
+    are excluded from the next snapshot.  Re-compaction folds earlier
+    generations in (their rows carry the generation's epoch id, which
+    becomes absorbed in turn).
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as _F
+
+    from more_pattern_extraction_spark.sources import catalog as CAT
+
+    table = CAT.table_path(out_root, name)
+    absorbed = _absorbed_ids(table)
+    present = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(table)
+        if e.startswith("epoch=")
+    }
+    # finish a crashed previous compaction first: absorbed dirs still on
+    # disk are stale duplicates of a committed generation
+    for e in sorted(present & absorbed):
+        shutil.rmtree(os.path.join(table, f"epoch={e}"))
+    live = sorted(present - absorbed)
+    if len(live) <= 1:
+        return {"compacted": 0, "generation": None}
+
+    gen = min(min(live), 0) - 1
+    df = (
+        spark.read.parquet(table)
+        .filter(_F.col("epoch").isin(live))
+        .drop("epoch")
+    )
+    parts = [_F.col("conv_bucket"), _F.col("ts_day")]
+    if files_per_partition > 1:
+        parts.append(
+            _F.pmod(_F.xxhash64("conv_id"), _F.lit(files_per_partition)).cast("int")
+        )
+    tmp = os.path.join(table, f"_tmp_compact_{gen}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartition(*parts)
+        .sortWithinPartitions("conv_bucket", "ts_day", "conv_id", "bucket_start")
+        .write.mode("overwrite")
+        .partitionBy("conv_bucket", "ts_day")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_absorbs.json"), "w") as f:
+        json.dump(live, f)
+    os.rename(tmp, os.path.join(table, f"epoch={gen}"))
+    for e in live:
+        shutil.rmtree(os.path.join(table, f"epoch={e}"))
+    return {"compacted": len(live), "generation": gen}

@@ -515,3 +515,94 @@ def test_stream_tier_epoch_commit_late_drop_and_replay(spark, tmp_path):
         for p in glob.glob(f"{out}/rollup_1m_stream/**/*.parquet", recursive=True)
     }
     assert files_before == files_after
+
+
+def test_stream_tier_compaction_crash_safe(spark, transcripts, tmp_path):
+    """compact_stream_tier: epochs merge into one generation with the
+    tier unchanged; the crash window (generation committed, source dirs
+    not yet deleted) neither double-counts on read nor re-admits a
+    replayed absorbed epoch; a rerun finishes the deletes."""
+    import glob
+    import os
+    import shutil
+
+    from more_pattern_extraction_spark.streaming.rollup_stream import (
+        compact_stream_tier,
+        read_stream_tier,
+        stream_rollup_to_table,
+    )
+
+    # three files in chronological order, so the watermark advances per
+    # batch and finalized groups spread across several epochs
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tq = transcripts.withColumn("_tsd", F.col("ts").cast("double"))
+    q1, q2 = tq.approxQuantile("_tsd", [0.33, 0.66], 0.0)
+    slices = [tq.filter(F.col("_tsd") <= q1).drop("_tsd"),
+              tq.filter((F.col("_tsd") > q1) & (F.col("_tsd") <= q2)).drop("_tsd"),
+              tq.filter(F.col("_tsd") > q2).drop("_tsd")]
+    for i, sl in enumerate(slices):
+        stage = str(tmp_path / f"cstage{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0],
+                    os.path.join(src, f"f{i}.parquet"))
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = str(tmp_path / "tier")
+    stream_rollup_to_table(
+        spark, src, schema, out, watermark="0 seconds", n_buckets=4,
+        checkpoint_dir=str(tmp_path / "cp1"), max_files_per_trigger=1,
+    )
+    table = f"{out}/rollup_1m_stream"
+    epochs_before = sorted(e for e in os.listdir(table) if e.startswith("epoch="))
+    assert len(epochs_before) >= 2
+
+    def digest(df):
+        cols = sorted(df.columns)
+        return df.select(
+            F.sum(F.pmod(F.xxhash64(*[F.col(c).cast("string") for c in cols]),
+                         F.lit(1_000_000_007))).alias("h"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+
+    d0 = digest(read_stream_tier(spark, out, "rollup_1m_stream"))
+    files0 = len(glob.glob(f"{table}/**/*.parquet", recursive=True))
+
+    # keep a copy of one source epoch to simulate the crash window later
+    victim = epochs_before[0]
+    shutil.copytree(f"{table}/{victim}", str(tmp_path / "victim_copy"))
+
+    st = compact_stream_tier(spark, out, "rollup_1m_stream")
+    assert st["compacted"] == len(epochs_before) and st["generation"] == -1
+    left = sorted(e for e in os.listdir(table) if e.startswith("epoch="))
+    assert left == ["epoch=-1"]
+    assert digest(read_stream_tier(spark, out, "rollup_1m_stream")) == d0
+    files1 = len(glob.glob(f"{table}/**/*.parquet", recursive=True))
+    assert files1 < files0  # the point of the exercise
+
+    # crash window: an absorbed epoch dir re-appears alongside the
+    # committed generation — the manifest keeps it invisible
+    shutil.copytree(str(tmp_path / "victim_copy"), f"{table}/{victim}")
+    assert digest(read_stream_tier(spark, out, "rollup_1m_stream")) == d0
+
+    # a replay of that absorbed epoch id is treated as committed:
+    # fresh stream checkpoint over the same source writes nothing new
+    gen_files = {
+        (p, os.stat(p).st_mtime_ns)
+        for p in glob.glob(f"{table}/epoch=-1/**/*.parquet", recursive=True)
+    }
+    stream_rollup_to_table(
+        spark, src, schema, out, watermark="0 seconds", n_buckets=4,
+        checkpoint_dir=str(tmp_path / "cp2"), max_files_per_trigger=1,
+    )
+    assert {
+        (p, os.stat(p).st_mtime_ns)
+        for p in glob.glob(f"{table}/epoch=-1/**/*.parquet", recursive=True)
+    } == gen_files
+    assert digest(read_stream_tier(spark, out, "rollup_1m_stream")) == d0
+
+    # rerunning the compaction finishes the crashed delete (stale dir
+    # removed, nothing new to compact)
+    st2 = compact_stream_tier(spark, out, "rollup_1m_stream")
+    assert st2["compacted"] == 0
+    assert not os.path.exists(f"{table}/{victim}")
+    assert digest(read_stream_tier(spark, out, "rollup_1m_stream")) == d0
