@@ -111,6 +111,23 @@ def affected_units(
     )
 
 
+def scoped_raw(merged_turns: DataFrame, buckets: list[int], n_buckets: int) -> DataFrame:
+    """Whole conversations of the affected buckets.  On a cataloged
+    transcript table conv_bucket is a STORED partition column — filter
+    it before recomputing layout cols, so the scan partition-prunes (a
+    filter on the recomputed ``pmod(xxhash64(..))`` expression would not
+    reach the file index; PLANS.md §repair shows the pruned scan +
+    tests/test_plans.py pins it).  On a raw frame without the column
+    it's a pushed predicate instead."""
+    if "conv_bucket" in merged_turns.columns:
+        src = merged_turns.filter(F.col("conv_bucket").isin(buckets))
+    else:
+        src = merged_turns
+    return CAT.with_layout_cols(src, n_buckets).filter(
+        F.col("conv_bucket").isin(buckets)
+    )
+
+
 def _only_units(df: DataFrame, units: DataFrame) -> DataFrame:
     """Restrict a layout-columned frame to the affected units (broadcast
     semi-join on the partition key — the write then overwrites exactly
@@ -180,12 +197,7 @@ def repair_late_turns(
 
     buckets = [r[0] for r in units.select("conv_bucket").distinct().collect()]
 
-    # whole conversations of the affected buckets (conv_bucket is a
-    # stored partition column on a cataloged transcript table → pruned
-    # scan; on a raw frame it's a pushed filter on the derived column)
-    scoped = CAT.with_layout_cols(merged_turns, n_buckets).filter(
-        F.col("conv_bucket").isin(buckets)
-    )
+    scoped = scoped_raw(merged_turns, buckets, n_buckets)
     n_late = late_turns.count()
 
     feats = R.turn_features(scoped.drop("conv_bucket", "ts_day"), latency_col=latency_col)

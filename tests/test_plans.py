@@ -216,3 +216,21 @@ def test_sketch_chain_no_raw_value_shuffle_no_python(spark, events):
     sk0 = SK.sketch_quantile(SK.sketch_cascade(
         SK.sketch_from_raw(R.turn_features(t, seg_rows=None), "1m"), "1h"))
     assert plan_str(sk0, mode="simple").count("Exchange hashpartitioning") == 1
+
+
+def test_repair_scoped_scan_partition_prunes(spark, transcripts, tmp_path):
+    """plans/repair.scoped_raw on a cataloged transcript table must reach
+    the file index as a PartitionFilter on the STORED conv_bucket column
+    — a filter on the recomputed pmod(xxhash64(..)) expression would scan
+    every bucket."""
+    from more_pattern_extraction_spark.plans.repair import scoped_raw
+    from more_pattern_extraction_spark.sources import catalog as CAT
+
+    root = str(tmp_path)
+    CAT.write_partitioned(CAT.with_layout_cols(transcripts, 8), root, "transcripts")
+    raw = CAT.read_table(spark, root, "transcripts")
+    plan = scoped_raw(raw, [2, 5], 8)._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "conv_bucket" in m.group(1), m.group(1)
