@@ -174,11 +174,12 @@ def repair_late_turns(
     t0 = time.time()
     cp = CheckpointStore(spark, out_root)
 
-    units = affected_units(merged_turns, late_turns, n_buckets).cache()
-    n_all_units = units.count()
+    all_units = affected_units(merged_turns, late_turns, n_buckets).cache()
+    n_all_units = all_units.count()
     hor_1m = (retention or {}).get("1m")
+    units = all_units
     if hor_1m:
-        units = units.filter(
+        units = all_units.filter(
             F.col("ts_day") >= F.lit(hor_1m[:10]).cast("date")
         ).cache()
     n_units = units.count()
@@ -193,6 +194,7 @@ def repair_late_turns(
         }
         cp.record_metrics(JOB, **m)
         units.unpersist()
+        all_units.unpersist()
         return m
 
     buckets = [r[0] for r in units.select("conv_bucket").distinct().collect()]
@@ -309,4 +311,5 @@ def repair_late_turns(
     }
     cp.record_metrics(JOB, **m)
     units.unpersist()
+    all_units.unpersist()
     return m

@@ -47,6 +47,7 @@ def digest(spark, root, name):
 
 
 def main():
+    n_buckets = int(os.environ.get("MPE_REPAIR_BUCKETS", "32"))
     spark = get_spark("measure_repair_win", cores=int(os.environ.get("MPE_CPUS", "32")))
     t = generate_transcripts(
         spark, n_convs=600, base_turns=2000, hot_convs=2, hot_mult=5
@@ -65,15 +66,15 @@ def main():
     cold, out = f"{root}/cold", f"{root}/out"
 
     t0 = time.time()
-    run_pipeline(spark, t, cold, input_snapshot="full", n_buckets=32)
+    run_pipeline(spark, t, cold, input_snapshot="full", n_buckets=n_buckets)
     cold_wall = time.time() - t0
 
-    run_pipeline(spark, ontime, out, input_snapshot="ontime", n_buckets=32)
+    run_pipeline(spark, ontime, out, input_snapshot="ontime", n_buckets=n_buckets)
 
     t0 = time.time()
     m = repair_late_turns(
         spark, t, late, out, input_snapshot="merged",
-        prior_snapshot="ontime", n_buckets=32,
+        prior_snapshot="ontime", n_buckets=n_buckets,
     )
     repair_wall = time.time() - t0
 
@@ -94,11 +95,17 @@ def main():
         "buckets_touched": m["buckets_touched"],
         "all_tables_bit_equal_to_cold": equal,
         "cpus": int(os.environ.get("MPE_CPUS", "32")),
+        "n_buckets": n_buckets,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "REPAIR_WIN_r06.json")
+    runs = []
+    if os.path.exists(path):
+        prev = json.load(open(path))
+        runs = prev.get("runs", [prev] if "turns" in prev else [])
+    runs.append(out_json)
     with open(path, "w") as f:
-        json.dump(out_json, f, indent=1)
+        json.dump({"runs": runs}, f, indent=1)
     print(json.dumps(out_json))
     spark.stop()
 
