@@ -313,3 +313,118 @@ def repair_late_turns(
     units.unpersist()
     all_units.unpersist()
     return m
+
+
+def repair_pattern_stage(
+    spark: SparkSession,
+    merged_turns: DataFrame,
+    late_turns: DataFrame,
+    out_root: str,
+    n_buckets: int = 32,
+    m: int = 120,
+    window: str = "week",
+    k: int = 2,
+) -> dict:
+    """Extend a late-data repair to the pattern tables (``mp_{window}``,
+    ``discords``, ``regimes`` — ``run_pattern_stage``'s outputs).  Call
+    AFTER ``repair_late_turns`` on the same late set, so the filled tier
+    this reads is already reconciled.
+
+    Why the affected set is exact: the window-keyed matrix profile is
+    WINDOW-LOCAL — each (conv, window) group is computed from that
+    window's grid rows only (that is what bounds tasks for hot
+    conversations) — and a late turn changes filled-grid rows only
+    inside the affected day interval (module docstring).  So the pattern
+    partitions that can change are exactly the (conv_bucket, window)
+    pairs covering the affected (conv_bucket, ts_day) units; discords
+    and regimes are per-(conv, window) reductions of the MP and inherit
+    the same set.  The grid is RESTRICTED to those windows before the MP
+    kernel runs (not filtered after), so the recompute cost is
+    O(affected windows), and every output row lands in an affected
+    partition — dynamic overwrite touches nothing else.
+    """
+    from more_pattern_extraction_spark.operators import matrix_profile as MP
+    from more_pattern_extraction_spark.operators import motifs as MO
+    from more_pattern_extraction_spark.operators import segmentation as SG
+
+    t0 = time.time()
+    units = affected_units(merged_turns, late_turns, n_buckets).cache()
+    buckets = [r[0] for r in units.select("conv_bucket").distinct().collect()]
+    wins = (
+        units.select(
+            "conv_bucket",
+            F.date_trunc(window, F.col("ts_day").cast("timestamp")).alias("_win"),
+        )
+        .distinct()
+        .cache()
+    )
+    n_wins = wins.count()
+
+    filled = CAT.read_table(spark, out_root, "rollup_1m_filled").filter(
+        F.col("conv_bucket").isin(buckets)
+    )
+    grid = (
+        filled.select(
+            "conv_id",
+            "conv_bucket",
+            "bucket_start",
+            F.coalesce("latency_avg_filled", "latency_avg_locf", F.lit(0.0)).alias(
+                "latency_avg_filled"
+            ),
+        )
+        .withColumn("_win", F.date_trunc(window, "bucket_start"))
+        .join(F.broadcast(wins), ["conv_bucket", "_win"], "left_semi")
+        .select("conv_id", "bucket_start", "latency_avg_filled")
+    )
+    mp = MP.matrix_profile(grid, m, window=window)
+    mp = mp.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("ts_day", F.col("win").cast("date"))
+    CAT.write_partitioned(mp, out_root, f"mp_{window}")
+
+    # window-local extractions from the re-read artifact, scoped to the
+    # affected (bucket, window) pairs — same composite-key shape as
+    # run_pattern_stage (plans/pipeline.py)
+    mp_saved = (
+        CAT.read_table(spark, out_root, f"mp_{window}")
+        .filter(F.col("conv_bucket").isin(buckets))
+        .withColumn("_win", F.col("win"))
+        .join(F.broadcast(wins), ["conv_bucket", "_win"], "left_semi")
+    )
+    keyed = mp_saved.withColumn(
+        "_ck", F.concat_ws("#", "conv_id", F.col("win").cast("string"))
+    )
+    disc = MO.top_k_discords(
+        keyed.select(F.col("_ck").alias("conv_id"), "pos", "mp"), ez=int(m / 4), k=k
+    ).select(
+        F.split("conv_id", "#")[0].alias("conv_id"),
+        F.split("conv_id", "#")[1].cast("timestamp").alias("win"),
+        "discord_rank", "pos", "distance",
+    )
+    disc = disc.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("ts_day", F.col("win").cast("date"))
+    CAT.write_partitioned(disc, out_root, "discords")
+
+    regimes = SG.fluss_segments(
+        keyed.select(F.col("_ck").alias("conv_id"), "pos", "pi"),
+        L_values=[m], n_regimes=3, excl_factor=1,
+    ).select(
+        F.split("conv_id", "#")[0].alias("conv_id"),
+        F.split("conv_id", "#")[1].cast("timestamp").alias("win"),
+        "L", "regime_pos", "cac",
+    )
+    regimes = regimes.withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    ).withColumn("ts_day", F.col("win").cast("date"))
+    CAT.write_partitioned(regimes, out_root, "regimes")
+
+    out = {
+        "pattern_repair_wall_s": time.time() - t0,
+        "windows_repaired": float(n_wins),
+        "buckets_touched": float(len(buckets)),
+    }
+    CheckpointStore(spark, out_root).record_metrics("late_repair_patterns", **out)
+    units.unpersist()
+    wins.unpersist()
+    return out

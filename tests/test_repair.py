@@ -171,3 +171,42 @@ def test_repair_respects_retention(spark, transcripts, tmp_path):
     assert _table_digest(spark, out, "rollup_1m") == _table_digest(
         spark, cold, "rollup_1m"
     )
+
+
+def test_repair_pattern_stage_equals_cold(spark, transcripts, split, tmp_path):
+    """repair_late_turns + repair_pattern_stage reconcile the pattern
+    tables (mp/discords/regimes) bit-identically to a cold full run,
+    touching only the affected (conv_bucket, window) partitions."""
+    from more_pattern_extraction_spark.plans.pipeline import run_pattern_stage
+    from more_pattern_extraction_spark.plans.repair import repair_pattern_stage
+
+    ontime, late = split
+    cold, out = str(tmp_path / "cold"), str(tmp_path / "out")
+    run_pipeline(spark, transcripts, cold, input_snapshot="pf", n_buckets=8)
+    run_pattern_stage(spark, cold, n_buckets=8, m=16, window="day", k=2)
+    run_pipeline(spark, ontime, out, input_snapshot="po", n_buckets=8)
+    run_pattern_stage(spark, out, n_buckets=8, m=16, window="day", k=2)
+
+    units = {
+        (r["conv_bucket"], str(r["ts_day"]))
+        for r in affected_units(transcripts, late, 8).collect()
+    }
+    ptables = ["mp_day", "discords", "regimes"]
+    before = {t: _partition_files(out, t) for t in ptables}
+
+    repair_late_turns(spark, transcripts, late, out, input_snapshot="pm",
+                      prior_snapshot="po", n_buckets=8)
+    pm = repair_pattern_stage(spark, transcripts, late, out, n_buckets=8,
+                              m=16, window="day", k=2)
+    assert pm["windows_repaired"] >= 1
+
+    for t in ptables:
+        assert _table_digest(spark, out, t) == _table_digest(spark, cold, t), t
+
+    # window="day" → affected pattern partitions == affected units
+    touched = {f"conv_bucket={b}/ts_day={d}" for b, d in units}
+    for t in ptables:
+        after = _partition_files(out, t)
+        for part, files in before[t].items():
+            if part not in touched:
+                assert after.get(part) == files, f"{t}/{part} was rewritten"
