@@ -403,14 +403,60 @@ def locf(
     return df
 
 
-def gap_fill_rollup(rollup: DataFrame, tier: str = "1m", limit: int = 1) -> DataFrame:
+#: grid length above which a conversation's per-conv window sort is a
+#: skew hazard — same bound as rollup.LAG_SEG_ROWS (≈69 days of 1m grid)
+GRID_SEG_ROWS = 100_000
+
+
+def gap_fill_rollup(
+    rollup: DataFrame,
+    tier: str = "1m",
+    limit: int = 1,
+    segment_rows: int | str | None = "auto",
+) -> DataFrame:
     """End-to-end: densify → counts default 0 → LOCF + linear interp on
-    latency features (the §7.1 slice).  Day-segmented dense-grid windows
-    (``interpolate_dense``): a hot conversation's grid spreads across its
-    days instead of sorting on one task, at the plain form's sort count."""
+    latency features (the §7.1 slice).
+
+    **Skew (``segment_rows``)**: the plain form's per-conversation
+    windows sort a conversation's WHOLE dense grid on one task — the
+    skew harness measured the hot conversation pinning the gap-fill
+    stage (SKEW_SCALING_r06.json).  The dense-grid day-segmented form
+    (``interpolate_dense``) spreads it across days — but costs a
+    measured **+24 % wall / +39 % CPU on non-skew data** (interleaved
+    A/B, checksums equal: ``scripts/GAPFILL_DENSE_AB_r06.json``), the
+    same insurance-premium shape as the segmented lag
+    (SEG_OVERHEAD_r06.json → its adaptive gate).
+
+    **Auto gate (default)**: the hazard has an exact, cheap witness —
+    the longest conversation grid, ``max over convs of
+    (max−min bucket)/step + 1``, one partial-aggregated two-column pass
+    over the SPARSE rollup (≪ grid rows).  Below ``GRID_SEG_ROWS`` every
+    per-conv sort is bounded and the plain form is chosen; the two forms
+    are bit-equal (pandas-parity + dense≡plain tests, and the A/B
+    asserts checksum equality), so the gate is value-neutral.  Explicit
+    ``int`` forces the dense path (threshold ignored — callers with
+    catalog stats); ``None`` forces plain.  Eager caveat: "auto" runs
+    one Spark job at plan-build time.
+    """
+    step = _SECONDS[tier]
+    if segment_rows == "auto":
+        mx = (
+            rollup.groupBy("conv_id")
+            .agg(
+                (
+                    (F.max("bucket_start").cast("double")
+                     - F.min("bucket_start").cast("double")) / F.lit(step)
+                ).alias("_span")
+            )
+            .agg(F.max("_span"))
+            .first()[0]
+        )
+        segment_rows = GRID_SEG_ROWS if (mx or 0) + 1 >= GRID_SEG_ROWS else None
     dense = densify(rollup, tier)
     dense = dense.withColumn("turn_cnt", F.coalesce("turn_cnt", F.lit(0))).withColumn(
         "tool_call_cnt", F.coalesce("tool_call_cnt", F.lit(0))
     )
-    return interpolate_dense(dense, rollup, ["latency_avg"], limit=limit,
-                             step_s=_SECONDS[tier], with_locf=True)
+    if segment_rows:
+        return interpolate_dense(dense, rollup, ["latency_avg"], limit=limit,
+                                 step_s=step, with_locf=True)
+    return interpolate(dense, ["latency_avg"], limit=limit, with_locf=True)

@@ -208,3 +208,36 @@ def test_interpolate_dense_equals_plain(spark, transcripts):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[plain.columns], plain)
+
+
+def test_gap_fill_rollup_adaptive_gate(spark, transcripts):
+    """The dense-vs-plain gate (GAPFILL_DENSE_AB_r06.json: dense costs
+    +24% wall on non-skew data) is value-neutral: both forced branches
+    and the auto default produce identical rows, and auto picks the
+    plain branch when every conversation grid is below GRID_SEG_ROWS."""
+    from pyspark.sql import functions as F
+
+    r1m = R.rollup_from_raw(R.turn_features(transcripts), "1m")
+    mx = (
+        r1m.groupBy("conv_id")
+        .agg(((F.max("bucket_start").cast("double")
+               - F.min("bucket_start").cast("double")) / 60).alias("s"))
+        .agg(F.max("s")).first()[0]
+    )
+    assert mx + 1 < G.GRID_SEG_ROWS  # fixture is below the threshold
+
+    def rows(df):
+        return df.select(
+            "conv_id", "bucket_start", "latency_avg_filled", "latency_avg_locf"
+        ).orderBy("conv_id", "bucket_start").collect()
+
+    auto = rows(G.gap_fill_rollup(r1m, "1m"))
+    plain = rows(G.gap_fill_rollup(r1m, "1m", segment_rows=None))
+    dense = rows(G.gap_fill_rollup(r1m, "1m", segment_rows=1))
+    assert auto == plain == dense
+
+    # plan witness: auto == plain here (no day-carry join in the plain
+    # form — interpolate_dense is the only consumer of the carry summary)
+    auto_plan = G.gap_fill_rollup(r1m, "1m")._jdf.queryExecution().executedPlan().toString()
+    dense_plan = G.gap_fill_rollup(r1m, "1m", segment_rows=1)._jdf.queryExecution().executedPlan().toString()
+    assert auto_plan.count("Window") < dense_plan.count("Window") or len(auto_plan) < len(dense_plan)

@@ -107,7 +107,10 @@ def test_gapfill_is_pure_catalyst(spark, events):
         F.count("value").alias("latency_cnt"),
         F.avg("value").alias("latency_avg"),
     )
-    p = plan_str(G.gap_fill_rollup(r1m, "1m"), mode="simple")
+    # both gate branches are pure Catalyst (dense pinned, then plain)
+    p = plan_str(G.gap_fill_rollup(r1m, "1m", segment_rows=1), mode="simple")
+    assert "EvalPython" not in p and "InPandas" not in p
+    p = plan_str(G.gap_fill_rollup(r1m, "1m", segment_rows=None), mode="simple")
     assert "EvalPython" not in p and "InPandas" not in p
 
 
@@ -132,7 +135,10 @@ def test_gapfill_dense_grid_generated_once(spark, events):
         F.count("value").alias("latency_cnt"),
         F.avg("value").alias("latency_avg"),
     )
-    p = plan_str(G.gap_fill_rollup(r1m, "1m"), mode="simple")
+    # pin the dense branch: the adaptive gate (GAPFILL_DENSE_AB_r06)
+    # picks plain on this small input, but the regression lock is about
+    # the DENSE plan's shape
+    p = plan_str(G.gap_fill_rollup(r1m, "1m", segment_rows=1), mode="simple")
     gen = [ln for ln in p.splitlines() if "Generate explode" in ln]
     minute_grid = [ln for ln in gen if "'60' SECOND" in ln or "60 seconds" in ln]
     assert len(minute_grid) == 1, p  # grid explode computes once, ever
