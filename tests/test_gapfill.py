@@ -241,3 +241,40 @@ def test_gap_fill_rollup_adaptive_gate(spark, transcripts):
     auto_plan = G.gap_fill_rollup(r1m, "1m")._jdf.queryExecution().executedPlan().toString()
     dense_plan = G.gap_fill_rollup(r1m, "1m", segment_rows=1)._jdf.queryExecution().executedPlan().toString()
     assert auto_plan.count("Window") < dense_plan.count("Window") or len(auto_plan) < len(dense_plan)
+
+
+def test_gap_fill_rollup_gate_picks_dense_on_wide_grid(spark):
+    """Skew direction of the auto gate: one conversation whose grid spans
+    >= GRID_SEG_ROWS minute-buckets (the skew harness's hot-conversation
+    shape) must flip auto onto the day-segmented dense path.  Plan-only:
+    the witness agg runs on the 2-row sparse rollup; the 100k-row grid is
+    never collected."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = t0 + dt.timedelta(seconds=60 * G.GRID_SEG_ROWS)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["hot", "hot"],
+            "bucket_start": [t0, t1],
+            "turn_cnt": [3, 4],
+            "tool_call_cnt": [1, 0],
+            "latency_avg": [1.5, 2.5],
+        }
+    )
+    r1m = spark.createDataFrame(pdf)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    auto_plan = plan(G.gap_fill_rollup(r1m, "1m"))
+    dense_plan = plan(G.gap_fill_rollup(r1m, "1m", segment_rows=1))
+    plain_plan = plan(G.gap_fill_rollup(r1m, "1m", segment_rows=None))
+    # auto matches the dense form here, not the plain one: the dense path's
+    # day-carry join adds plan nodes the plain form lacks
+    assert auto_plan.count("Window") == dense_plan.count("Window")
+    assert dense_plan.count("Window") != plain_plan.count("Window") or len(
+        dense_plan
+    ) > len(plain_plan)
