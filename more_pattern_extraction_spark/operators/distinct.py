@@ -1,0 +1,176 @@
+"""Mergeable distinct-count sketch (KMV / k-minimum-values) per tier bucket.
+
+Problem: "distinct conversations per minute/hour/day" is the other
+classic continuous-aggregate statistic (besides percentiles —
+operators/sketch.py) that is NOT mergeable exactly: a coarse tier's
+``count(distinct conv_id)`` cannot be derived from the finer tier's
+counts, and rescanning raw turns at 10^12 rows per cascade is off the
+table.  The standard fix is a mergeable distinct sketch stored on the
+tier row (TimescaleDB/Druid keep an HLL; Spark 3.5+ ships DataSketches
+``hll_sketch_agg``).  We use **KMV** (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream") instead of HLL because
+KMV is *deterministic and relational*:
+
+  * **Sketch** = the ``k`` lexicographically-smallest ``md5(conv_key)``
+    hex strings among the conversations present in the bucket (fixed-
+    width lowercase hex, so string order == numeric order).
+  * **Exact merge identity**: the k smallest of a union ARE the k
+    smallest of the per-part k-smallest unions — so
+    ``kmv(hour) == merge(kmv(minute_1..60))`` holds EXACTLY (array
+    equality), the same contract as the quantile sketch's map equality.
+    A conversation ranking j ≤ k in the hour ranks ≤ j in every minute
+    it appears in (its dominators there are a subset), so it survives
+    every per-minute cut.
+  * **Estimator**: with ``u_k`` = the k-th smallest hash mapped to
+    [0, 1), ``E[distinct] = (k-1)/u_k`` (unbiased); when the sketch
+    holds fewer than k hashes it IS the exact distinct set, so the
+    estimate is exact below k.  Relative stderr ≈ 1/sqrt(k-2).
+  * **Oracle-checkable.**  md5 + string sort + integer Horner over hex
+    digits are ANSI-SQL; DuckDB re-derives the whole pipeline VALUE-
+    LEVEL (an HLL register array cannot be reproduced in SQL — same
+    reason sketch.py is a histogram and not a t-digest).
+
+Scale shape (100 TB): raw rows first collapse to distinct
+``(bucket, hash)`` pairs with map-side partial aggregation (the only
+shuffle that sees data volume, and it carries 16-byte hashes, never
+text); the per-bucket top-k then rides Spark's rank-limit pushdown
+(``WindowGroupLimit``: each map task emits at most k rows per bucket
+before the exchange — plan-shape test); cascades explode ≤ k entries
+per child bucket, so a 1m→1h merge shuffles ≤ 60·k short strings per
+hour regardless of raw cardinality.  The estimate is a pure column
+expression over the packed array.
+
+Hash-to-[0,1) mapping is Horner over the first 8 hex digits
+(``ascii`` arithmetic, integers < 2^32, exact in double; one final
+divide by 2^32) so Spark and DuckDB agree bit-for-bit — no libm, no
+platform-dependent parsing.
+
+Reference analogue: none (the reference is single-node and counts
+distincts in RAM, e.g. pandas ``nunique`` in
+``/root/reference/modules/preprocessing.py``); this is the price of
+the same statistic at 10^12 turns, mirroring sketch.py's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.operators.rollup import bucket_expr, tier_seconds
+
+#: default sketch size; relative stderr ~ 1/sqrt(k-2) ~ 4 % at 512
+K_DEFAULT = 512
+
+
+def conv_hash(col) -> F.Column:
+    """Uniform 32-hex-char key for a conversation id of any type (numeric
+    ids cast through string so Spark and SQL oracles hash identical
+    bytes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string").cast("binary"))
+
+
+def u_expr(h) -> F.Column:
+    """Map a lowercase md5 hex string to [0, 1): Horner over the first 8
+    hex digits via ``ascii`` arithmetic (exact integers < 2^32), one
+    final divide by 2^32.  Bit-identical in any engine with ascii/substr."""
+    acc = None
+    for i in range(1, 9):
+        code = F.ascii(F.substring(h, i, 1))
+        # long arithmetic: the Horner product reaches 16^8 > int32, and
+        # non-ANSI Spark would wrap int overflow silently
+        digit = (code - F.when(code >= 97, F.lit(87)).otherwise(F.lit(48))).cast("long")
+        acc = digit if acc is None else acc * F.lit(16) + digit
+    return acc.cast("double") / F.lit(4294967296.0)
+
+
+def _pack_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Distinct (bucket_start, h) rows → per-bucket sorted k-smallest
+    array.  The rank filter is the scale valve: Spark rewrites it to
+    ``WindowGroupLimit``, so each map task forwards ≤ k rows per bucket
+    into the window exchange."""
+    w = Window.partitionBy("bucket_start").orderBy("h")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .groupBy("bucket_start")
+        .agg(F.array_sort(F.collect_list("h")).alias("conv_kmv"))
+    )
+
+
+def kmv_from_raw(
+    turns: DataFrame,
+    tier: str = "1m",
+    k: int = K_DEFAULT,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-bucket KMV sketch at the finest tier, from raw turns.
+
+    The leading ``.distinct()`` is deliberate and load-bearing: rank
+    limits bound *rows*, not *values*, so a hot conversation repeated
+    10^7 times in one bucket would flood a duplicate-carrying window.
+    Distinct (bucket, 16-byte hash) pairs combine map-side first; raw
+    text/values never shuffle.
+
+    Returns ``(bucket_start, conv_kmv array<string>)``.
+    """
+    pairs = turns.select(
+        bucket_expr(F.col(ts_col), tier).alias("bucket_start"),
+        conv_hash(conv_col).alias("h"),
+    ).distinct()
+    return _pack_topk(pairs, k)
+
+
+def kmv_from_rollup(
+    rollup: DataFrame, k: int = K_DEFAULT, conv_col: str = "conv_id"
+) -> DataFrame:
+    """Per-bucket KMV sketch from a per-(conv, bucket) tier frame — the
+    tier table already holds one row per pair, so no distinct pass."""
+    pairs = rollup.select(
+        "bucket_start", conv_hash(conv_col).alias("h")
+    )
+    return _pack_topk(pairs, k)
+
+
+def kmv_cascade(
+    kmv: DataFrame, to_tier: str, k: int = K_DEFAULT,
+    from_tier: str | None = None,
+) -> DataFrame:
+    """Merge finer-tier sketches into a coarser tier — EXACTLY equal to
+    building the sketch from raw at the coarse tier (module docstring;
+    merge-identity pytest).  Shuffle: ≤ (children × k) 32-char strings
+    per coarse bucket, independent of raw cardinality.
+
+    Same width invariant as rollup.cascade: ``to_tier`` must be a
+    multiple of the finer width or finer buckets would straddle coarse
+    ones; pass ``from_tier`` when known and it is validated here."""
+    if from_tier is not None:
+        w_to, w_from = tier_seconds(to_tier), tier_seconds(from_tier)
+        if w_to % w_from:
+            raise ValueError(
+                f"kmv_cascade {from_tier}->{to_tier}: {w_to}s is not a "
+                f"multiple of {w_from}s"
+            )
+    exploded = kmv.select(
+        bucket_expr(F.col("bucket_start"), to_tier).alias("bucket_start"),
+        F.explode("conv_kmv").alias("h"),
+    ).distinct()
+    return _pack_topk(exploded, k)
+
+
+def kmv_estimate(
+    kmv: DataFrame, k: int = K_DEFAULT, out_col: str = "distinct_convs_est"
+) -> DataFrame:
+    """Distinct-count estimate per bucket, as pure column expressions:
+    exact ``size`` below k (the sketch IS the distinct set there), else
+    the unbiased KMV estimator ``(k-1)/u_k``.  Adds ``n_kmv`` (bigint)
+    and ``out_col`` (double, round 6 per the oracle-parity convention)."""
+    size = F.size("conv_kmv")
+    est = F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_expr(F.element_at("conv_kmv", k))
+    )
+    return kmv.withColumn("n_kmv", size.cast("bigint")).withColumn(
+        out_col, F.round(est, 6)
+    )

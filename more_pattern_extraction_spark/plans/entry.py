@@ -295,6 +295,46 @@ def rollup_p95_cascade(spark, sf_dir):
     )
 
 
+def _kmv_query(spark, sf_dir, tiers: list[str], k: int):
+    """Shared body for the KMV distinct queries: finest-tier sketches from
+    raw events, cascaded up ``tiers``, estimate attached.  The oracle
+    builds the sketch DIRECTLY at the final tier, so the driver's value
+    hash verifies the KMV merge identity on real data."""
+    from more_pattern_extraction_spark.operators import distinct as DK
+
+    kmv = DK.kmv_from_raw(_events(spark, sf_dir), tiers[0], k, conv_col="user_id")
+    for frm, to in zip(tiers, tiers[1:]):
+        kmv = DK.kmv_cascade(kmv, to, k, from_tier=frm)
+    # the sketch array itself is value-checked as a scalar digest (the
+    # driver comparator hashes scalar columns): md5 over the concatenated
+    # sorted hex strings pins every element and its order
+    return DK.kmv_estimate(kmv, k).select(
+        "bucket_start",
+        "n_kmv",
+        F.md5(F.concat_ws("", "conv_kmv").cast("binary")).alias("kmv_digest"),
+        "distinct_convs_est",
+    )
+
+
+@register("distinct_convs_kmv_1h")  # oracle: plans/oracles.kmv_distinct_sql (below)
+def distinct_convs_kmv_1h(spark, sf_dir):
+    """Mergeable distinct-conversation sketch (KMV, operators/distinct.py):
+    1m sketches from raw, MERGED to 1h (no raw rescan — the continuous-
+    aggregate path), unbiased (k-1)/u_k estimate.  k=16 < the sf0.01
+    per-hour cardinality ceiling (28), so the estimator branch is
+    exercised, not just the exact-below-k one.  Reference analogue: none
+    (single-node pandas nunique); sibling contract to rollup_p95_cascade."""
+    return _kmv_query(spark, sf_dir, ["1m", "1h"], k=16)
+
+
+@register("distinct_convs_kmv_1d")
+def distinct_convs_kmv_1d(spark, sf_dir):
+    """Two-hop KMV cascade 1m→1h→1d at k=64 (sf0.01 day cardinality ≈
+    125–141 > k, estimator branch on every bucket); the oracle builds
+    directly at the day tier, value-checking BOTH merge hops."""
+    return _kmv_query(spark, sf_dir, ["1m", "1h", "1d"], k=64)
+
+
 # ---------------------------------------------------------------------------
 # P2-P7 — filters/projections (preprocessing.py:46-168)
 # ---------------------------------------------------------------------------
@@ -2015,6 +2055,8 @@ ORACLES["matrix_profile_multidim"] = _OR.multidim_sql()
 ORACLES["changepoint_event_scores"] = _OR.CHANGEPOINT_SQL
 ORACLES["changepoint_event_scores_poly2"] = _OR.CHANGEPOINT_POLY2_SQL
 ORACLES["dedup_simhash"] = _OR.simhash_sql(_PLANTED_SQL, max_hamming=6)
+ORACLES["distinct_convs_kmv_1h"] = _OR.kmv_distinct_sql("hour", k=16)
+ORACLES["distinct_convs_kmv_1d"] = _OR.kmv_distinct_sql("day", k=64)
 ORACLES["embedding_topk_lsh"] = _OR.embedding_topk_lsh_sql(k=3, n_planes=6)
 ORACLES["embedding_near_dups"] = _OR.embedding_near_dups_sql(threshold=0.99)
 ORACLES["multimodal_features"] = _OR.MULTIMODAL_FEATURES_SQL
@@ -2248,10 +2290,11 @@ _PRIORITY = [
     "language_id",  # r05's intended keeper that overflowed to position 51
     # new this round
     "rollup_retention",
+    "distinct_convs_kmv_1h",
+    "distinct_convs_kmv_1d",
     # r05-green keepers (unique operator coverage in this window)
     "grid_search_sweep",
     "embedding_topk_ivf",
-    "rollup_5m_cascade",
     "filter_range",
     "between_time",
     "rolling_mean",
@@ -2279,8 +2322,12 @@ _PRIORITY = [
     "equi_join_enrich",
     "chunk_roundtrip",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     # rotated out this round (r05 hash-green; operator covered in-window):
+    # rollup_5m_cascade (arbitrary-width A1 -> rollup_1h_cascade +
+    # rollup_retention keep A1 in-window; 5m landed in the r05 window),
+    # dedup_simhash (dedup family keeps dedup_exact + dedup_ngram_jaccard
+    # + dedup_minhash_lsh in-window; simhash has an r05 row) — both make
+    # room for the new KMV distinct queries to get r06 driver rows.
     # rollup_1d_cascade + rollup_1m (A1 -> rollup_1h_cascade +
     # rollup_retention's 1m tier), rollup_p95 (-> rollup_p95_cascade),
     # matrix_profile (W1 -> matrix_profile_distributed),

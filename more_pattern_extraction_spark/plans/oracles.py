@@ -1206,3 +1206,52 @@ def ivf_topk_sql(centroids, k: int = 3, n_probe: int = 3,
           FROM scored)
     SELECT query_id, cand_id, cos, rank FROM r WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# distinct_convs_kmv_* — KMV distinct-conversation sketch per tier bucket
+# (operators/distinct.py).  The oracle builds the sketch DIRECTLY at the
+# coarse tier from raw events, while the Spark query cascades finer-tier
+# sketches — value equality under the driver hash therefore verifies the
+# KMV merge identity on real data, not just the arithmetic.
+# ---------------------------------------------------------------------------
+
+def _kmv_u(h: str) -> str:
+    """Horner over the first 8 hex digits of md5 expression ``h`` → [0, 1).
+    BIGINT accumulator (the product reaches 16^8 > int32 — DuckDB raises on
+    int32 overflow), one exact divide by 2^32; mirrors operators/distinct.u_expr."""
+    def digit(i: int) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"CAST({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END AS BIGINT)"
+    expr = digit(1)
+    for i in range(2, 9):
+        expr = f"({expr} * 16 + {digit(i)})"
+    return f"(CAST({expr} AS DOUBLE) / 4294967296.0)"
+
+
+def kmv_distinct_sql(unit: str, k: int) -> str:
+    """Per-``unit`` bucket KMV sketch + distinct estimate over events,
+    conv key = user_id (FIXTURES.md §6)."""
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT date_trunc('{unit}', ts) AS bucket_start,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT bucket_start, h,
+             row_number() OVER (PARTITION BY bucket_start ORDER BY h) AS rn
+      FROM pairs
+    ),
+    sk AS (
+      SELECT bucket_start, list_sort(list(h)) AS conv_kmv
+      FROM ranked WHERE rn <= {k} GROUP BY 1
+    )
+    SELECT bucket_start, len(conv_kmv) AS n_kmv,
+           md5(array_to_string(conv_kmv, '')) AS kmv_digest,
+           round(CASE WHEN len(conv_kmv) < {k} THEN CAST(len(conv_kmv) AS DOUBLE)
+                 ELSE {k - 1}.0 / (SELECT {_kmv_u('kth')}
+                                   FROM (SELECT conv_kmv[{k}] AS kth))
+                 END, 6) AS distinct_convs_est
+    FROM sk
+    """

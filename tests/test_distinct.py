@@ -1,0 +1,107 @@
+"""KMV distinct-count sketch (operators/distinct.py): exact merge
+identity, estimator contract (exact below k, bounded error above),
+hash-mapping exactness, cascade width validation, and the
+WindowGroupLimit plan shape the 100 TB story rests on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.operators import distinct as DK
+
+
+def _crowd(spark, n_convs=300, minutes=90):
+    """Deterministic turns: conv i is active in minutes [0, i % minutes),
+    so per-minute distinct counts sweep a wide range and every conv spans
+    several buckets (exercises both the estimator and the merge)."""
+    return (
+        spark.range(n_convs)
+        .withColumn("conv_id", F.format_string("conv_%05d", F.col("id")))
+        .select(
+            "conv_id",
+            F.explode(
+                F.sequence(F.lit(0), F.pmod(F.col("id"), F.lit(minutes)))
+            ).alias("m"),
+        )
+        .select(
+            "conv_id",
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(mins=F.col("m"))
+            ).alias("ts"),
+        )
+    )
+
+
+def test_merge_identity_exact(spark):
+    """kmv(hour) built direct from raw == 1m sketches cascaded to 1h —
+    ARRAY equality, the KMV analogue of the quantile sketch's map
+    equality."""
+    turns = _crowd(spark)
+    k = 8
+    direct = DK.kmv_from_raw(turns, "1h", k).orderBy("bucket_start").collect()
+    merged = (
+        DK.kmv_cascade(DK.kmv_from_raw(turns, "1m", k), "1h", k, from_tier="1m")
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert direct == merged
+    assert len(direct) == 2  # 90 minutes span two hour buckets
+
+
+def test_estimator_exact_below_k_and_bounded_above(spark):
+    turns = _crowd(spark, n_convs=300, minutes=90)
+    k = 64
+    est = {
+        r.bucket_start: (r.n_kmv, r.distinct_convs_est)
+        for r in DK.kmv_estimate(DK.kmv_from_raw(turns, "1m", k), k).collect()
+    }
+    exact = {
+        r.bucket_start: r.n
+        for r in turns.groupBy(F.date_trunc("minute", "ts").alias("bucket_start"))
+        .agg(F.count_distinct("conv_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    saw_est_branch = saw_exact_branch = False
+    for b, (n_kmv, e) in est.items():
+        if n_kmv < k:
+            # below k the sketch IS the distinct set
+            assert e == exact[b]
+            saw_exact_branch = True
+        else:
+            # stderr ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma on a fixed seed
+            assert abs(e - exact[b]) / exact[b] < 0.51
+            saw_est_branch = True
+    assert saw_exact_branch and saw_est_branch
+
+
+def test_u_expr_matches_python_hex_parse(spark):
+    """Horner ascii-arithmetic == int(hex[:8], 16) / 2^32 exactly."""
+    df = spark.createDataFrame(
+        [("0000000100000000",), ("ffffffff00000000",), ("89abcdef12345678",)],
+        ["h"],
+    )
+    got = [r.u for r in df.select(DK.u_expr(F.col("h")).alias("u")).collect()]
+    want = [int(h, 16) / 2**32 for h in ("00000001", "ffffffff", "89abcdef")]
+    assert got == want
+
+
+def test_cascade_validates_tier_multiple(spark):
+    turns = _crowd(spark, n_convs=10, minutes=10)
+    sk = DK.kmv_from_raw(turns, "1m", 4)
+    with pytest.raises(ValueError, match="not a .*multiple|multiple"):
+        DK.kmv_cascade(sk, "90s", 4, from_tier="1m")
+
+
+def test_topk_rides_window_group_limit(spark):
+    """The rank filter must compile to WindowGroupLimit (map-side partial
+    top-k before the exchange) — the valve that bounds shuffle volume at
+    10^12 turns."""
+    turns = _crowd(spark)
+    plan = (
+        DK.kmv_from_raw(turns, "1m", 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
