@@ -130,6 +130,40 @@ def streaming_sketch_entries_1m(
     )
 
 
+def streaming_kmv_entries_1m(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Streaming build of the KMV distinct-conversation sketch
+    (operators/distinct): distinct ``(minute bucket, md5(conv))`` pairs
+    as ONE watermarked stateful aggregation — the entry form of the
+    sketch, exactly like ``streaming_sketch_entries_1m`` is the entry
+    form of the quantile sketch.
+
+    The per-bucket top-k can't chain onto a streaming agg (append mode
+    forbids a second stateful step), and — same argument as the latency
+    sketch — the KMV merge identity makes that irrelevant: entry pairs
+    from any number of micro-batches/epochs union (re-distinct) and
+    ``operators.distinct._pack_topk`` batch-side restores the sketch
+    EXACTLY equal to ``kmv_from_raw`` on the same turns (stream==batch
+    pytest).  State per key is just the group key (a 32-char hash +
+    window), bounded by watermark horizon × active distinct convs;
+    count(*) is kept only to make the agg a valid streaming plan — the
+    pair itself is the datum."""
+    from more_pattern_extraction_spark.operators.distinct import conv_hash
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 minute").alias("win"),
+            conv_hash(conv_col).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("bucket_start"), "h")
+    )
+
+
 def stream_rollup_to_table(
     spark: SparkSession,
     source_dir: str,

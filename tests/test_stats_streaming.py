@@ -606,3 +606,32 @@ def test_stream_tier_compaction_crash_safe(spark, transcripts, tmp_path):
     assert st2["compacted"] == 0
     assert not os.path.exists(f"{table}/{victim}")
     assert digest(read_stream_tier(spark, out, "rollup_1m_stream")) == d0
+
+
+def test_streaming_kmv_entries_match_batch(spark, transcripts, tmp_path):
+    """Streaming KMV entries (one watermarked distinct-pair agg) packed
+    batch-side must equal kmv_from_raw on the same turns — the KMV merge
+    identity carried into Structured Streaming."""
+    from more_pattern_extraction_spark.operators import distinct as DK
+    from more_pattern_extraction_spark.streaming.rollup_stream import (
+        streaming_kmv_entries_1m,
+    )
+
+    src = str(tmp_path / "kmv_stream_src")
+    transcripts.select("conv_id", "ts").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("conv_id string, ts timestamp").parquet(src)
+    q = (
+        streaming_kmv_entries_1m(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("kmv_stream").trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    k = 8
+    got = (
+        DK._pack_topk(spark.sql("select * from kmv_stream"), k)
+        .orderBy("bucket_start").collect()
+    )
+    exp = DK.kmv_from_raw(transcripts, "1m", k).orderBy("bucket_start").collect()
+    assert len(got) == len(exp) > 0
+    assert got == exp
