@@ -84,17 +84,20 @@ def u_expr(h) -> F.Column:
     return acc.cast("double") / F.lit(4294967296.0)
 
 
-def _pack_topk(pairs: DataFrame, k: int) -> DataFrame:
-    """Distinct (bucket_start, h) rows → per-bucket sorted k-smallest
-    array.  The rank filter is the scale valve: Spark rewrites it to
-    ``WindowGroupLimit``, so each map task forwards ≤ k rows per bucket
-    into the window exchange."""
-    w = Window.partitionBy("bucket_start").orderBy("h")
+def _pack_topk(pairs: DataFrame, k: int, part_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct (*part_cols, bucket_start, h) rows → per-key sorted
+    k-smallest array.  The rank filter is the scale valve: Spark rewrites
+    it to ``WindowGroupLimit``, so each map task forwards ≤ k rows per
+    key into the window exchange.  ``part_cols`` adds storage-unit keys
+    (e.g. ``conv_bucket``) for persisted PARTIAL sketches — the global
+    sketch is recovered exactly by merging partials (module docstring)."""
+    keys = [*part_cols, "bucket_start"]
+    w = Window.partitionBy(*keys).orderBy("h")
     return (
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
-        .groupBy("bucket_start")
+        .groupBy(*keys)
         .agg(F.array_sort(F.collect_list("h")).alias("conv_kmv"))
     )
 
@@ -105,6 +108,7 @@ def kmv_from_raw(
     k: int = K_DEFAULT,
     conv_col: str = "conv_id",
     ts_col: str = "ts",
+    part_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-bucket KMV sketch at the finest tier, from raw turns.
 
@@ -114,13 +118,22 @@ def kmv_from_raw(
     Distinct (bucket, 16-byte hash) pairs combine map-side first; raw
     text/values never shuffle.
 
-    Returns ``(bucket_start, conv_kmv array<string>)``.
+    ``part_cols`` builds per-storage-unit PARTIAL sketches instead (e.g.
+    ``("conv_bucket",)`` — the pipeline's persisted ``distinct_1m``
+    shape): each unit keeps its own k-smallest, and because a
+    conversation hashes to exactly one unit the partials per bucket are
+    disjoint — merging them (``kmv_cascade`` on the stored table, minus
+    the unit column) recovers the global sketch EXACTLY, so repair can
+    recompute one unit without touching the others.
+
+    Returns ``(*part_cols, bucket_start, conv_kmv array<string>)``.
     """
     pairs = turns.select(
+        *part_cols,
         bucket_expr(F.col(ts_col), tier).alias("bucket_start"),
         conv_hash(conv_col).alias("h"),
     ).distinct()
-    return _pack_topk(pairs, k)
+    return _pack_topk(pairs, k, part_cols)
 
 
 def kmv_from_rollup(

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from more_pattern_extraction_spark.operators import chunks as CH
+from more_pattern_extraction_spark.operators import distinct as DK
 from more_pattern_extraction_spark.operators import gapfill as G
 from more_pattern_extraction_spark.operators import rollup as R
 from more_pattern_extraction_spark.operators import sketch as SK
@@ -88,6 +89,18 @@ def run_pipeline(
         CAT.write_partitioned(r1m, out_root, "rollup_1m",
                               sort_cols=("conv_id", "bucket_start"))
 
+        # per-unit PARTIAL KMV distinct sketches (operators/distinct):
+        # each (conv_bucket, minute) keeps its own k-smallest conv
+        # hashes; a conversation hashes to exactly one bucket, so the
+        # partials per minute are disjoint and kmv_cascade over the
+        # stored table (dropping conv_bucket) recovers the GLOBAL
+        # per-bucket sketch at any tier exactly — no raw rescan, and
+        # repair recomputes one unit without touching the others
+        kmv1m = DK.kmv_from_raw(todo, "1m", part_cols=("conv_bucket",))
+        kmv1m = kmv1m.withColumn("ts_day", F.col("bucket_start").cast("date"))
+        CAT.write_partitioned(kmv1m, out_root, "distinct_1m",
+                              sort_cols=("bucket_start",))
+
         filled = G.gap_fill_rollup(CAT.read_table(spark, out_root, "rollup_1m"), "1m")
         filled = CAT.with_layout_cols(filled, n_buckets)
         CAT.write_partitioned(filled, out_root, "rollup_1m_filled",
@@ -128,6 +141,9 @@ def run_pipeline(
                 # inside the horizon's partial day are kept — tier horizons
                 # are day-aligned by policy
                 CAT.drop_partitions_before(out_root, f"rollup_{tier}", keep_after)
+                if tier == "1m":
+                    # the persisted KMV partials share the 1m horizon
+                    CAT.drop_partitions_before(out_root, "distinct_1m", keep_after)
 
         lineage = content_hash(
             CAT.read_table(spark, out_root, "rollup_1m").withColumn(

@@ -34,7 +34,7 @@ def _table_digest(spark, root, name):
 def test_cold_run_and_noop_resume(spark, transcripts, out):
     m1 = run_pipeline(spark, transcripts, out, input_snapshot="snapA", n_buckets=8)
     assert m1["units_done"] > 0 and m1["turns"] > 0
-    for t in ["rollup_1m", "rollup_1m_filled", "chunks_1m", "rollup_1h", "rollup_1d"]:
+    for t in ["rollup_1m", "distinct_1m", "rollup_1m_filled", "chunks_1m", "rollup_1h", "rollup_1d"]:
         assert CAT.read_table(spark, out, t).count() > 0, t
     d1 = _table_digest(spark, out, "rollup_1m")
 
@@ -49,6 +49,29 @@ def test_cold_run_and_noop_resume(spark, transcripts, out):
     lineage = spark.read.parquet(f"{out}/lineage")
     assert lineage.count() > 0
     assert set(lineage.columns) >= {"conv_bucket", "ts_bucket", "rows_out", "content_hash"}
+
+
+def test_distinct_partials_serve_global_sketch(spark, transcripts, out):
+    """The persisted distinct_1m PARTIALS (per conv_bucket) must recover
+    the GLOBAL per-bucket sketch at any tier via kmv_cascade — the merge
+    identity is what lets the pipeline store unit-local rows (repairable
+    per unit) and still answer global distinct-count queries exactly."""
+    from more_pattern_extraction_spark.operators import distinct as DK
+
+    run_pipeline(spark, transcripts, out, input_snapshot="snapK", n_buckets=8)
+    partials = CAT.read_table(spark, out, "distinct_1m")
+    for tier in ("1m", "1h"):
+        served = (
+            DK.kmv_cascade(
+                partials.select("bucket_start", "conv_kmv"), tier, from_tier="1m"
+            )
+            .orderBy("bucket_start")
+            .collect()
+        )
+        direct = (
+            DK.kmv_from_raw(transcripts, tier).orderBy("bucket_start").collect()
+        )
+        assert served == direct and len(served) > 0, tier
 
 
 def test_interrupted_resume_equals_cold(spark, transcripts, out, tmp_path):

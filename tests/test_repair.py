@@ -11,7 +11,7 @@ from more_pattern_extraction_spark.plans.pipeline import run_pipeline
 from more_pattern_extraction_spark.plans.repair import affected_units, repair_late_turns
 from more_pattern_extraction_spark.sources import catalog as CAT
 
-TABLES = ["rollup_1m", "rollup_1m_filled", "chunks_1m", "rollup_1h", "rollup_1d"]
+TABLES = ["rollup_1m", "distinct_1m", "rollup_1m_filled", "chunks_1m", "rollup_1h", "rollup_1d"]
 
 
 def _table_digest(spark, root, name):
