@@ -95,9 +95,28 @@ def run_pipeline(
         # partials per minute are disjoint and kmv_cascade over the
         # stored table (dropping conv_bucket) recovers the GLOBAL
         # per-bucket sketch at any tier exactly — no raw rescan, and
-        # repair recomputes one unit without touching the others
-        kmv1m = DK.kmv_from_raw(todo, "1m", part_cols=("conv_bucket",))
+        # repair recomputes one unit without touching the others.
+        # Built from the 1m tier JUST WRITTEN, not from raw: the tier
+        # already holds exactly one row per (conv, minute), so the
+        # raw-scan distinct (the expensive half, ~60 % of a rollup
+        # stage) is amortized into the rollup aggregation
+        r1m_stored = CAT.read_table(spark, out_root, "rollup_1m")
+        kmv1m = DK.kmv_from_rollup(
+            r1m_stored.select("conv_bucket", "bucket_start", "conv_id"),
+            part_cols=("conv_bucket",),
+        )
         kmv1m = kmv1m.withColumn("ts_day", F.col("bucket_start").cast("date"))
+        # scope to pending units (the stored tier also holds units done by
+        # earlier runs — rewriting their partitions would be value-identical
+        # but defeat resume incrementality)
+        kmv1m = kmv1m.join(
+            F.broadcast(
+                pending.select(
+                    "conv_bucket", F.col("ts_bucket").cast("date").alias("ts_day")
+                )
+            ),
+            ["conv_bucket", "ts_day"],
+        )
         CAT.write_partitioned(kmv1m, out_root, "distinct_1m",
                               sort_cols=("bucket_start",))
 

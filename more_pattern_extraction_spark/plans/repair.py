@@ -217,23 +217,27 @@ def repair_late_turns(
         sort_cols=("conv_id", "bucket_start"),
     )
 
-    # --- KMV distinct partials: unit-local by construction -----------------
-    # each (conv_bucket, minute) partial depends only on its own unit's
-    # turns (operators/distinct.kmv_from_raw part_cols docstring), so the
-    # repair scope is exactly the affected units — no spillover interval
-    from more_pattern_extraction_spark.operators import distinct as DK
-
-    kmv1m = DK.kmv_from_raw(feats, "1m", part_cols=("conv_bucket",))
-    kmv1m = kmv1m.withColumn("ts_day", F.col("bucket_start").cast("date"))
-    CAT.write_partitioned(
-        _only_units(kmv1m, units), out_root, "distinct_1m",
-        sort_cols=("bucket_start",),
-    )
-
     # read-back: unaffected days of the affected buckets keep their old
     # (value-identical) rows; downstream stages see one consistent table
     base = CAT.read_table(spark, out_root, "rollup_1m").filter(
         F.col("conv_bucket").isin(buckets)
+    )
+
+    # --- KMV distinct partials: unit-local by construction -----------------
+    # each (conv_bucket, minute) partial depends only on its own unit's
+    # rows, so the repair scope is exactly the affected units — no
+    # spillover interval.  Built from the repaired tier read-back (one
+    # row per pair already — same reason as the pipeline's build path)
+    from more_pattern_extraction_spark.operators import distinct as DK
+
+    kmv1m = DK.kmv_from_rollup(
+        base.select("conv_bucket", "bucket_start", "conv_id"),
+        part_cols=("conv_bucket",),
+    )
+    kmv1m = kmv1m.withColumn("ts_day", F.col("bucket_start").cast("date"))
+    CAT.write_partitioned(
+        _only_units(kmv1m, units), out_root, "distinct_1m",
+        sort_cols=("bucket_start",),
     )
 
     # --- gap-fill: needs whole conversations; write affected days ----------
