@@ -248,6 +248,21 @@ def main() -> None:
             stages["chunks"] = round(time.time() - t1, 2)
             stage_cpu["chunks"] = round(meter.read() - c1, 1)
 
+            # KMV distinct partials (added round 6 when plans/pipeline.py
+            # gained the distinct_1m table — earlier rounds' full-pipeline
+            # stage sums predate this stage; per-stage rows stay
+            # comparable).  Tier-sourced shape, same as the pipeline.
+            from more_pattern_extraction_spark.operators import distinct as DK
+
+            t1, c1 = time.time(), meter.read()
+            kmv_in = r1m.select(
+                F.pmod(F.xxhash64("conv_id"), F.lit(32)).cast("int").alias("conv_bucket"),
+                "bucket_start", "conv_id",
+            )
+            drain_checksum(DK.kmv_from_rollup(kmv_in, part_cols=("conv_bucket",)))
+            stages["distinct"] = round(time.time() - t1, 2)
+            stage_cpu["distinct"] = round(meter.read() - c1, 1)
+
             t1, c1 = time.time(), meter.read()
             grid = filled.select(
                 "conv_id", "bucket_start",
