@@ -105,3 +105,52 @@ def test_topk_rides_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_kmv_matches_python_model_fuzz(spark):
+    """Hypothesis cross-check against a pure-python KMV model: sketch
+    content, size, and estimator must match for arbitrary (bucket, conv)
+    multisets and k — the same class of oracle the DuckDB driver rows
+    provide, but adversarially generated."""
+    import datetime as dt
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 4), st.text("abcd", min_size=1, max_size=3)),
+            min_size=1,
+            max_size=40,
+        ),
+        k=st.integers(1, 6),
+    )
+    def check(pairs, k):
+        rows = [
+            (conv, t0 + dt.timedelta(minutes=m)) for m, conv in pairs
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "ts"])
+        got = {
+            r.bucket_start: (list(r.conv_kmv), r.n_kmv, r.distinct_convs_est)
+            for r in DK.kmv_estimate(DK.kmv_from_raw(df, "1m", k), k).collect()
+        }
+        want = {}
+        per: dict = {}
+        for m, conv in pairs:
+            per.setdefault(m, set()).add(hashlib.md5(conv.encode()).hexdigest())
+        for m, hashes in per.items():
+            sk = sorted(hashes)[:k]
+            n = len(sk)
+            est = (
+                float(n)
+                if n < k
+                else round((k - 1) / (int(sk[k - 1][:8], 16) / 2**32), 6)
+            )
+            want[t0 + dt.timedelta(minutes=m)] = (sk, n, est)
+        assert got == want
+
+    check()
