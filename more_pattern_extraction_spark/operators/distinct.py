@@ -179,6 +179,46 @@ def kmv_cascade(
     return _pack_topk(exploded, k)
 
 
+def kmv_sliding(
+    kmv: DataFrame, window_buckets: int, step_s: int, k: int = K_DEFAULT
+) -> DataFrame:
+    """Trailing-window distinct sketch served at every child bucket that
+    has data: the sketch at serving point H covers child buckets
+    ``(H - (window_buckets-1)·step_s, …, H]`` — the rolling-DAU shape
+    ("distinct conversations in the trailing 24 h, hourly") — derived
+    entirely from stored sketches, no raw rescan.
+
+    Same identity as the cascade, applied to overlapping bucket sets: a
+    hash in the window's true top-k ranks ≤ k in every child it appears
+    in, so the union of child top-k's contains the window's top-k.
+    Each child entry fans out to ``window_buckets`` serving points
+    (≤ window_buckets·k short strings per serving point — bounded,
+    independent of raw cardinality), then the usual distinct →
+    WindowGroupLimit top-k → pack."""
+    hours = kmv.select("bucket_start")
+    span = F.expr(f"INTERVAL {step_s * (window_buckets - 1)} SECONDS")
+    step = F.expr(f"INTERVAL {step_s} SECONDS")
+    entries = kmv.select("bucket_start", F.explode("conv_kmv").alias("h"))
+    contrib = entries.select(
+        F.explode(
+            F.sequence(
+                F.col("bucket_start"), F.col("bucket_start") + span, step
+            )
+        ).alias("serve"),
+        "h",
+    )
+    pairs = (
+        contrib.join(
+            hours.withColumnRenamed("bucket_start", "serve").distinct(),
+            "serve",
+            "left_semi",
+        )
+        .withColumnRenamed("serve", "bucket_start")
+        .distinct()
+    )
+    return _pack_topk(pairs, k)
+
+
 def kmv_estimate(
     kmv: DataFrame, k: int = K_DEFAULT, out_col: str = "distinct_convs_est"
 ) -> DataFrame:

@@ -335,6 +335,31 @@ def distinct_convs_kmv_1d(spark, sf_dir):
     return _kmv_query(spark, sf_dir, ["1m", "1h", "1d"], k=64)
 
 
+@register("distinct_convs_kmv_24h")  # oracle: plans/oracles.kmv_sliding_sql (below)
+def distinct_convs_kmv_24h(spark, sf_dir):
+    """Trailing-24h distinct conversations served hourly (rolling-DAU
+    shape, operators/distinct.kmv_sliding): 1h sketches (built 1m→1h)
+    fan each entry out to the 24 serving hours it covers, then the usual
+    top-k — no raw rescan.  The oracle builds every window's sketch
+    DIRECTLY from raw pairs, so the value hash proves the sliding
+    identity.  k=16 ≪ the ~125-conv 24h cardinality at sf0.01 —
+    estimator branch on nearly every serving point."""
+    from more_pattern_extraction_spark.operators import distinct as DK
+
+    k = 16
+    kmv1h = DK.kmv_cascade(
+        DK.kmv_from_raw(_events(spark, sf_dir), "1m", k, conv_col="user_id"),
+        "1h", k, from_tier="1m",
+    )
+    out = DK.kmv_estimate(DK.kmv_sliding(kmv1h, 24, 3600, k), k)
+    return out.select(
+        "bucket_start",
+        "n_kmv",
+        F.md5(F.concat_ws("", "conv_kmv").cast("binary")).alias("kmv_digest"),
+        "distinct_convs_est",
+    )
+
+
 # ---------------------------------------------------------------------------
 # P2-P7 — filters/projections (preprocessing.py:46-168)
 # ---------------------------------------------------------------------------
@@ -2057,6 +2082,7 @@ ORACLES["changepoint_event_scores_poly2"] = _OR.CHANGEPOINT_POLY2_SQL
 ORACLES["dedup_simhash"] = _OR.simhash_sql(_PLANTED_SQL, max_hamming=6)
 ORACLES["distinct_convs_kmv_1h"] = _OR.kmv_distinct_sql("hour", k=16)
 ORACLES["distinct_convs_kmv_1d"] = _OR.kmv_distinct_sql("day", k=64)
+ORACLES["distinct_convs_kmv_24h"] = _OR.kmv_sliding_sql(k=16, window=24)
 ORACLES["embedding_topk_lsh"] = _OR.embedding_topk_lsh_sql(k=3, n_planes=6)
 ORACLES["embedding_near_dups"] = _OR.embedding_near_dups_sql(threshold=0.99)
 ORACLES["multimodal_features"] = _OR.MULTIMODAL_FEATURES_SQL

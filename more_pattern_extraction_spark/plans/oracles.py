@@ -1255,3 +1255,39 @@ def kmv_distinct_sql(unit: str, k: int) -> str:
                  END, 6) AS distinct_convs_est
     FROM sk
     """
+
+
+def kmv_sliding_sql(k: int, window: int = 24) -> str:
+    """Trailing-``window``-hour KMV distinct served at every data hour.
+    The oracle builds each window's sketch DIRECTLY from raw pairs while
+    Spark unions the per-hour top-k's — value equality under the driver
+    hash proves the sliding-window identity (operators/distinct.kmv_sliding)."""
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    hours AS (SELECT DISTINCT b FROM pairs),
+    win AS (
+      SELECT DISTINCT h2.b AS bucket_start, p.h
+      FROM hours h2 JOIN pairs p
+        ON p.b BETWEEN h2.b - INTERVAL {window - 1} HOUR AND h2.b
+    ),
+    ranked AS (
+      SELECT bucket_start, h,
+             row_number() OVER (PARTITION BY bucket_start ORDER BY h) AS rn
+      FROM win
+    ),
+    sk AS (
+      SELECT bucket_start, list_sort(list(h)) AS conv_kmv
+      FROM ranked WHERE rn <= {k} GROUP BY 1
+    )
+    SELECT bucket_start, len(conv_kmv) AS n_kmv,
+           md5(array_to_string(conv_kmv, '')) AS kmv_digest,
+           round(CASE WHEN len(conv_kmv) < {k} THEN CAST(len(conv_kmv) AS DOUBLE)
+                 ELSE {k - 1}.0 / (SELECT {_kmv_u('kth')}
+                                   FROM (SELECT conv_kmv[{k}] AS kth))
+                 END, 6) AS distinct_convs_est
+    FROM sk
+    """

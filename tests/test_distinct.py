@@ -154,3 +154,37 @@ def test_kmv_matches_python_model_fuzz(spark):
         assert got == want
 
     check()
+
+
+def test_sliding_window_identity(spark):
+    """kmv_sliding (union of per-child top-k, fan-out form) == the
+    window sketch built directly from raw pairs — the sliding-window
+    application of the merge identity."""
+    import datetime as dt
+
+    turns = _crowd(spark, n_convs=120, minutes=90)
+    k = 8
+    kmv1m = DK.kmv_from_raw(turns, "1m", k)
+    got = (
+        DK.kmv_sliding(kmv1m, 30, 60, k).orderBy("bucket_start").collect()
+    )
+
+    # direct build: every (serving minute with data, hash in its
+    # trailing-30-minute window) pair, then the same top-k pack
+    pairs = turns.select(
+        F.date_trunc("minute", "ts").alias("b"),
+        DK.conv_hash("conv_id").alias("h"),
+    ).distinct()
+    minutes = pairs.select(F.col("b").alias("bucket_start")).distinct()
+    span = F.expr("INTERVAL 29 MINUTES")
+    direct_pairs = (
+        minutes.join(
+            pairs,
+            (F.col("b") >= F.col("bucket_start") - span)
+            & (F.col("b") <= F.col("bucket_start")),
+        )
+        .select("bucket_start", "h")
+        .distinct()
+    )
+    want = DK._pack_topk(direct_pairs, k).orderBy("bucket_start").collect()
+    assert got == want and len(got) > 0
