@@ -219,17 +219,42 @@ def kmv_sliding(
     return _pack_topk(pairs, k)
 
 
+def estimate_expr(arr, k: int) -> F.Column:
+    """Column-level KMV estimate for a sketch array: exact ``size`` below
+    k (the sketch IS the distinct set there), else the unbiased
+    ``(k-1)/u_k``.  Rounded to 6 per the oracle-parity convention."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    size = F.size(arr)
+    return F.round(
+        F.when(size < k, size.cast("double")).otherwise(
+            F.lit(float(k - 1)) / u_expr(F.element_at(arr, k))
+        ),
+        6,
+    )
+
+
+def union_expr(a, b, k: int) -> F.Column:
+    """Merged sketch of two ≤k-entry sketch arrays as a pure column
+    expression (k smallest distinct of the concatenation — the merge
+    identity again, no shuffle).  NULL-tolerant: a missing side merges
+    as empty."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    empty = F.array().cast("array<string>")
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(F.concat(F.coalesce(a, empty), F.coalesce(b, empty)))
+        ),
+        1,
+        k,
+    )
+
+
 def kmv_estimate(
     kmv: DataFrame, k: int = K_DEFAULT, out_col: str = "distinct_convs_est"
 ) -> DataFrame:
-    """Distinct-count estimate per bucket, as pure column expressions:
-    exact ``size`` below k (the sketch IS the distinct set there), else
-    the unbiased KMV estimator ``(k-1)/u_k``.  Adds ``n_kmv`` (bigint)
-    and ``out_col`` (double, round 6 per the oracle-parity convention)."""
-    size = F.size("conv_kmv")
-    est = F.when(size < k, size.cast("double")).otherwise(
-        F.lit(float(k - 1)) / u_expr(F.element_at("conv_kmv", k))
-    )
-    return kmv.withColumn("n_kmv", size.cast("bigint")).withColumn(
-        out_col, F.round(est, 6)
+    """Distinct-count estimate per bucket (``estimate_expr``).  Adds
+    ``n_kmv`` (bigint) and ``out_col`` (double)."""
+    return kmv.withColumn("n_kmv", F.size("conv_kmv").cast("bigint")).withColumn(
+        out_col, estimate_expr("conv_kmv", k)
     )

@@ -295,6 +295,16 @@ def rollup_p95_cascade(spark, sf_dir):
     )
 
 
+def _kmv_frame(spark, sf_dir, tiers: list[str], k: int):
+    """Finest-tier KMV sketches from raw events, cascaded up ``tiers``."""
+    from more_pattern_extraction_spark.operators import distinct as DK
+
+    kmv = DK.kmv_from_raw(_events(spark, sf_dir), tiers[0], k, conv_col="user_id")
+    for frm, to in zip(tiers, tiers[1:]):
+        kmv = DK.kmv_cascade(kmv, to, k, from_tier=frm)
+    return kmv
+
+
 def _kmv_query(spark, sf_dir, tiers: list[str], k: int):
     """Shared body for the KMV distinct queries: finest-tier sketches from
     raw events, cascaded up ``tiers``, estimate attached.  The oracle
@@ -302,9 +312,7 @@ def _kmv_query(spark, sf_dir, tiers: list[str], k: int):
     hash verifies the KMV merge identity on real data."""
     from more_pattern_extraction_spark.operators import distinct as DK
 
-    kmv = DK.kmv_from_raw(_events(spark, sf_dir), tiers[0], k, conv_col="user_id")
-    for frm, to in zip(tiers, tiers[1:]):
-        kmv = DK.kmv_cascade(kmv, to, k, from_tier=frm)
+    kmv = _kmv_frame(spark, sf_dir, tiers, k)
     # the sketch array itself is value-checked as a scalar digest (the
     # driver comparator hashes scalar columns): md5 over the concatenated
     # sorted hex strings pins every element and its order
@@ -333,6 +341,38 @@ def distinct_convs_kmv_1d(spark, sf_dir):
     125–141 > k, estimator branch on every bucket); the oracle builds
     directly at the day tier, value-checking BOTH merge hops."""
     return _kmv_query(spark, sf_dir, ["1m", "1h", "1d"], k=64)
+
+
+@register("distinct_convs_kmv_churn")  # oracle: plans/oracles.kmv_churn_sql (below)
+def distinct_convs_kmv_churn(spark, sf_dir):
+    """Day-over-day returning-conversation estimate from stored day
+    sketches (churn/retention analytics with no raw rescan):
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is a pure
+    column expression over the two ≤k arrays (operators/distinct
+    union_expr — the merge identity once more).  The self-join on
+    prev-day is a ~365-row day-level table at any scale.  k=64; sf0.01
+    day cardinality ~125–141, heavy overlap (conversations recur), so
+    the inclusion-exclusion path is exercised, not the exact-below-k
+    one."""
+    from more_pattern_extraction_spark.operators import distinct as DK
+
+    k = 64
+    kmv = _kmv_frame(spark, sf_dir, ["1m", "1h", "1d"], k)
+    prev = kmv.select(
+        (F.col("bucket_start") + F.expr("INTERVAL 1 DAY")).alias("bucket_start"),
+        F.col("conv_kmv").alias("prev_kmv"),
+    )
+    j = kmv.join(prev, "bucket_start")
+    est_prev = DK.estimate_expr("prev_kmv", k)
+    est_cur = DK.estimate_expr("conv_kmv", k)
+    est_union = DK.estimate_expr(DK.union_expr("prev_kmv", "conv_kmv", k), k)
+    return j.select(
+        "bucket_start",
+        est_prev.alias("est_prev_day"),
+        est_cur.alias("est_day"),
+        est_union.alias("est_union"),
+        F.round(est_prev + est_cur - est_union, 6).alias("returning_est"),
+    )
 
 
 @register("distinct_convs_kmv_24h")  # oracle: plans/oracles.kmv_sliding_sql (below)
@@ -2083,6 +2123,7 @@ ORACLES["dedup_simhash"] = _OR.simhash_sql(_PLANTED_SQL, max_hamming=6)
 ORACLES["distinct_convs_kmv_1h"] = _OR.kmv_distinct_sql("hour", k=16)
 ORACLES["distinct_convs_kmv_1d"] = _OR.kmv_distinct_sql("day", k=64)
 ORACLES["distinct_convs_kmv_24h"] = _OR.kmv_sliding_sql(k=16, window=24)
+ORACLES["distinct_convs_kmv_churn"] = _OR.kmv_churn_sql(k=64)
 ORACLES["embedding_topk_lsh"] = _OR.embedding_topk_lsh_sql(k=3, n_planes=6)
 ORACLES["embedding_near_dups"] = _OR.embedding_near_dups_sql(threshold=0.99)
 ORACLES["multimodal_features"] = _OR.MULTIMODAL_FEATURES_SQL

@@ -1291,3 +1291,46 @@ def kmv_sliding_sql(k: int, window: int = 24) -> str:
                  END, 6) AS distinct_convs_est
     FROM sk
     """
+
+
+def kmv_churn_sql(k: int) -> str:
+    """Day-over-day returning-conversation estimate via KMV
+    inclusion-exclusion (operators/distinct union_expr/estimate_expr).
+    Sketches built directly at the day tier; union = k smallest distinct
+    of the two arrays; rounding order mirrors the Spark query exactly
+    (each estimate rounded, then the sum rounded)."""
+    def est(arr: str) -> str:
+        return (
+            f"round(CASE WHEN len({arr}) < {k} THEN CAST(len({arr}) AS DOUBLE) "
+            f"ELSE {k - 1}.0 / (SELECT {_kmv_u('kth')} "
+            f"FROM (SELECT {arr}[{k}] AS kth)) END, 6)"
+        )
+    union = f"list_slice(list_sort(list_distinct(conv_kmv || prev_kmv)), 1, {k})"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT date_trunc('day', ts) AS bucket_start,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT bucket_start, h,
+             row_number() OVER (PARTITION BY bucket_start ORDER BY h) AS rn
+      FROM pairs
+    ),
+    sk AS (
+      SELECT bucket_start, list_sort(list(h)) AS conv_kmv
+      FROM ranked WHERE rn <= {k} GROUP BY 1
+    ),
+    j AS (
+      SELECT a.bucket_start, a.conv_kmv, b.conv_kmv AS prev_kmv
+      FROM sk a JOIN sk b ON b.bucket_start = a.bucket_start - INTERVAL 1 DAY
+    )
+    SELECT bucket_start,
+           {est('prev_kmv')} AS est_prev_day,
+           {est('conv_kmv')} AS est_day,
+           (SELECT {est('u')} FROM (SELECT {union} AS u)) AS est_union,
+           round({est('prev_kmv')} + {est('conv_kmv')}
+                 - (SELECT {est('u')} FROM (SELECT {union} AS u)), 6)
+             AS returning_est
+    FROM j
+    """

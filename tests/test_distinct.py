@@ -188,3 +188,39 @@ def test_sliding_window_identity(spark):
     )
     want = DK._pack_topk(direct_pairs, k).orderBy("bucket_start").collect()
     assert got == want and len(got) > 0
+
+
+def test_union_expr_and_overlap_estimate(spark):
+    """union_expr == the sketch built directly on the union set (merge
+    identity as a column expression), and the inclusion-exclusion
+    overlap estimate lands near the true intersection."""
+    import datetime as dt
+    import hashlib
+
+    k = 64
+    t0 = dt.datetime(2024, 1, 1)
+    a_convs = [f"conv_{i:05d}" for i in range(0, 200)]
+    b_convs = [f"conv_{i:05d}" for i in range(100, 300)]  # true overlap 100
+    rows = [(c, t0) for c in a_convs] + [(c, t0 + dt.timedelta(days=1)) for c in b_convs]
+    df = spark.createDataFrame(rows, ["conv_id", "ts"])
+    kmv = DK.kmv_from_raw(df, "1d", k)
+    prev = kmv.select(
+        (F.col("bucket_start") + F.expr("INTERVAL 1 DAY")).alias("bucket_start"),
+        F.col("conv_kmv").alias("prev_kmv"),
+    )
+    j = kmv.join(prev, "bucket_start")
+    out = j.select(
+        DK.union_expr("prev_kmv", "conv_kmv", k).alias("u"),
+        DK.estimate_expr("prev_kmv", k).alias("ea"),
+        DK.estimate_expr("conv_kmv", k).alias("eb"),
+        DK.estimate_expr(DK.union_expr("prev_kmv", "conv_kmv", k), k).alias("eu"),
+    ).collect()[0]
+
+    model_union = sorted(
+        {hashlib.md5(c.encode()).hexdigest() for c in set(a_convs) | set(b_convs)}
+    )[:k]
+    assert list(out.u) == model_union
+
+    returning = out.ea + out.eb - out.eu
+    # true overlap 100; three compounded k=64 estimates (stderr ~12.7% each)
+    assert abs(returning - 100) / 100 < 0.6
