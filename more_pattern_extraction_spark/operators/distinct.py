@@ -40,6 +40,11 @@ per child bucket, so a 1m→1h merge shuffles ≤ 60·k short strings per
 hour regardless of raw cardinality.  The estimate is a pure column
 expression over the packed array.
 
+The same identity serves two more shapes with no raw rescan:
+trailing windows (``kmv_sliding`` — rolling-DAU) and set overlap
+(``union_expr`` + inclusion-exclusion — day-over-day returning
+conversations).
+
 Hash-to-[0,1) mapping is Horner over the first 8 hex digits
 (``ascii`` arithmetic, integers < 2^32, exact in double; one final
 divide by 2^32) so Spark and DuckDB agree bit-for-bit — no libm, no
