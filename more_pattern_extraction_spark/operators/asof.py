@@ -1,0 +1,115 @@
+"""As-of join: point-in-time enrichment of a turn stream.
+
+For every left row, attach the LATEST right row of the same key with
+``r.ts <= l.ts`` (backward, inclusive — the semantics of DuckDB/kdb
+``ASOF JOIN`` and pandas ``merge_asof``): "which config/model-version/
+experiment arm was active when this turn happened".  Spark has no native
+as-of join; the usual workarounds — a range join (quadratic blowup on
+hot keys) or a windowed subquery per left row — don't survive 10^12
+turns.
+
+This implementation is the union-tag + running-LOCF form:
+
+    tag right rows side=0 (payload), left rows side=1 (nulls),
+    union → ONE shuffle on the key →
+    last(payload, ignorenulls) over (key ORDER BY ts, side
+                                     ROWS UNBOUNDED PRECEDING..CURRENT) →
+    keep left rows.
+
+Cost: one Exchange on the key (plan-shape test), no row amplification
+(|L| + |R| rows total), whole-stage-codegen window — the same shape as
+the engine's lag features (rollup.turn_features).  Right rows sort
+BEFORE left rows at equal timestamps (side 0 < 1), which is what makes
+the match inclusive.  Determinism: the caller must provide at most one
+right row per (key, ts) — dedupe upstream (e.g. ``groupBy(key,
+ts).agg(max_by(...))``) — otherwise "latest" among exact ties is
+order-dependent in ANY engine's as-of join.
+
+``tolerance_s`` bounds staleness (pandas merge_asof ``tolerance``): a
+match older than the bound nulls out instead of enriching.
+
+Oracle: DuckDB ships native ``ASOF LEFT JOIN``, so driver rows verify
+these semantics value-level against an independent implementation.
+
+Reference analogue: none (the reference joins in pandas RAM, e.g. label
+alignment in ``/root/reference/modules/underperformance_estimator.py``);
+the operator is the scale form of the same enrichment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward-inclusive as-of left join (module docstring).
+
+    Returns every ``left`` column plus, for each payload column ``c``,
+    ``c{suffix}`` (NULL when no right row precedes the left row — or
+    none within ``tolerance_s``) and ``{right_ts}{suffix}`` (the matched
+    right timestamp).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in (*on, right_ts)]
+    left_rest = [c for c in left.columns if c not in on]
+
+    r_side = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_rest
+        ],
+    )
+    l_side = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+        *left_rest,
+    )
+    u = r_side.unionByName(l_side)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last("_rts", ignorenulls=True).over(w)
+    filled = {
+        c: F.last(f"{c}{suffix}", ignorenulls=True).over(w) for c in payload_cols
+    }
+    if tolerance_s is not None:
+        fresh = matched_ts >= (
+            F.col("_ts") - F.expr(f"INTERVAL {int(tolerance_s)} SECONDS")
+        )
+        filled = {c: F.when(fresh, e) for c, e in filled.items()}
+        matched_ts = F.when(fresh, matched_ts)
+
+    out = u.withColumns(
+        {f"{c}{suffix}": e for c, e in filled.items()}
+        | {f"{right_ts}{suffix}": matched_ts}
+    )
+    return out.filter(F.col("_side") == 1).select(
+        *on, *left_rest,
+        *[f"{c}{suffix}" for c in payload_cols],
+        f"{right_ts}{suffix}",
+    )

@@ -1478,6 +1478,46 @@ def equi_join_enrich(spark, sf_dir):
 
 
 @register(
+    "asof_enrich",
+    """
+    WITH r AS (
+      SELECT user_id, ts, max(value) AS state_val
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT l.user_id AS conv_key, l.ts, l.event_id,
+           round(r.state_val, 6) AS state_val_asof, r.ts AS ts_asof
+    FROM events l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_enrich(spark, sf_dir):
+    """As-of join (operators/asof.py): every turn picks up the latest
+    preceding 'state change' of its conversation (purchase events as the
+    deterministic state stream, deduped to one row per (conv, ts)).
+    Union-tag + running LOCF, one shuffle on the key, |L|+|R| rows — no
+    range-join blowup.  The oracle is DuckDB's NATIVE ``ASOF LEFT
+    JOIN``, an independent implementation of the semantics."""
+    from more_pattern_extraction_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select("user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_val"))
+    )
+    out = asof_join(left, right, on="user_id", payload_cols=["state_val"])
+    return out.select(
+        F.col("user_id").alias("conv_key"),
+        "ts",
+        "event_id",
+        F.round("state_val_asof", 6).alias("state_val_asof"),
+        "ts_asof",
+    )
+
+
+@register(
     "deviation_windows",
     """
     WITH x AS (

@@ -1,0 +1,73 @@
+"""As-of join (operators/asof.py): backward-inclusive semantics, tie
+handling, tolerance, and the one-Exchange plan shape.  Engine-level
+parity with DuckDB's native ASOF LEFT JOIN is the driver row
+``asof_enrich``."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from more_pattern_extraction_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("a", _m(5), 1), ("a", _m(10), 2), ("a", _m(20), 3), ("b", _m(1), 4)],
+        ["k", "ts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [("a", _m(0), "v0"), ("a", _m(10), "v10"), ("b", _m(30), "late")],
+        ["k", "ts", "state"],
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_unmatched_null(spark):
+    left, right = _frames(spark)
+    rows = {
+        r.lid: (r.state_asof, r.ts_asof)
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert rows[1] == ("v0", _m(0))      # strictly-before match
+    assert rows[2] == ("v10", _m(10))    # EQUAL timestamp matches (inclusive)
+    assert rows[3] == ("v10", _m(10))    # latest, not first
+    assert rows[4] == (None, None)       # right row is in the future
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    rows = {
+        r.lid: r.state_asof
+        for r in asof_join(left, right, on="k", tolerance_s=300).collect()
+    }
+    assert rows[1] == "v0"      # 5 min old == bound, inclusive
+    assert rows[2] == "v10"
+    assert rows[3] is None      # 10 min old > 5 min tolerance
+    assert rows[4] is None
+
+
+def test_left_columns_and_row_count_preserved(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k")
+    assert out.count() == left.count()
+    assert set(out.columns) == {"k", "ts", "lid", "state_asof", "ts_asof"}
+
+
+def test_single_exchange_plan(spark):
+    """|L|+|R| union rows through ONE key shuffle — the property that
+    distinguishes this form from a range join (which explodes) or a
+    per-row subquery."""
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
