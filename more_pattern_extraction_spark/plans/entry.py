@@ -1518,6 +1518,51 @@ def asof_enrich(spark, sf_dir):
 
 
 @register(
+    "sessionize_stats",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM x
+    )
+    SELECT user_id AS conv_key, session_idx, count(*) AS n_turns,
+           min(ts) AS sess_start, max(ts) AS sess_end,
+           round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_stats(spark, sf_dir):
+    """Sessionization (operators/sessions.py): split each conversation on
+    >30 min inactivity gaps (lag + running sum of boundary flags — two
+    window passes over one key shuffle), then per-session aggregates.
+    Tie-break (ts, event_id) for determinism."""
+    from more_pattern_extraction_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"), "ts", "event_id"
+    )
+    out = session_stats(sessionize(ev, gap_s=1800, tie_cols=("event_id",)))
+    return out.select(
+        F.col("conv_id").alias("conv_key"),
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "n_turns",
+        "sess_start",
+        "sess_end",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+@register(
     "deviation_windows",
     """
     WITH x AS (
