@@ -18,7 +18,11 @@ This implementation is the union-tag + running-LOCF form:
 
 Cost: one Exchange on the key (plan-shape test), no row amplification
 (|L| + |R| rows total), whole-stage-codegen window — the same shape as
-the engine's lag features (rollup.turn_features).  Right rows sort
+the engine's lag features (rollup.turn_features), including the same
+hot-key hazard: one conversation's rows sort on one task.  The lag
+family's segmented-scan escape hatch (LAG_SEG_ROWS + carry) applies
+here too if a measured need appears; not pre-paid, per the
+SEG_OVERHEAD_r06 policy.  Right rows sort
 BEFORE left rows at equal timestamps (side 0 < 1), which is what makes
 the match inclusive.  Determinism: the caller must provide at most one
 right row per (key, ts) — dedupe upstream (e.g. ``groupBy(key,

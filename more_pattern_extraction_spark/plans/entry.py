@@ -2494,6 +2494,10 @@ _PRIORITY = [
     # multimodal_features), matrix_profile_multidim + subspace_columns
     # (W11/W12/W14 -> knee_detection), embedding_near_dups (->
     # embedding_topk_lsh)
+    #
+    # Registered late in r06, OUTSIDE the window (FULL@HEAD-green this
+    # round; rotate into the r07 window): distinct_convs_kmv_24h,
+    # distinct_convs_kmv_churn, asof_enrich, sessionize_stats.
 ]
 
 # ADVICE r05: the window is EXACTLY the driver's 50-query check; a silent
