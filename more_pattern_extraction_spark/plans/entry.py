@@ -1563,6 +1563,43 @@ def sessionize_stats(spark, sf_dir):
 
 
 @register(
+    "sample_per_group",
+    """
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def sample_per_group(spark, sf_dir):
+    """Deterministic per-group uniform sample (operators/sampling.py):
+    3 events per event_type by md5-hash order — reproducible on any
+    cluster size/partitioning, WindowGroupLimit-bounded shuffle."""
+    from more_pattern_extraction_spark.operators.sampling import (
+        sample_per_group as spg,
+    )
+
+    ev = _events(spark, sf_dir).select("event_type", "event_id")
+    return spg(ev, "event_type", 3, "event_id")
+
+
+@register("hash_split_counts")  # oracle: plans/oracles.hash_split_sql (below)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by hash fraction
+    (operators/sampling.hash_split — the same Horner u ∈ [0,1) as the
+    KMV estimator, so a row's split never changes as the corpus grows).
+    Counts per split; the oracle re-derives the cut bit-for-bit."""
+    from more_pattern_extraction_spark.operators.sampling import hash_split
+
+    ev = _events(spark, sf_dir).select("event_id")
+    out = hash_split(ev, "event_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "deviation_windows",
     """
     WITH x AS (
@@ -2209,6 +2246,7 @@ ORACLES["distinct_convs_kmv_1h"] = _OR.kmv_distinct_sql("hour", k=16)
 ORACLES["distinct_convs_kmv_1d"] = _OR.kmv_distinct_sql("day", k=64)
 ORACLES["distinct_convs_kmv_24h"] = _OR.kmv_sliding_sql(k=16, window=24)
 ORACLES["distinct_convs_kmv_churn"] = _OR.kmv_churn_sql(k=64)
+ORACLES["hash_split_counts"] = _OR.hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1})
 ORACLES["embedding_topk_lsh"] = _OR.embedding_topk_lsh_sql(k=3, n_planes=6)
 ORACLES["embedding_near_dups"] = _OR.embedding_near_dups_sql(threshold=0.99)
 ORACLES["multimodal_features"] = _OR.MULTIMODAL_FEATURES_SQL

@@ -1334,3 +1334,24 @@ def kmv_churn_sql(k: int) -> str:
              AS returning_est
     FROM j
     """
+
+
+def hash_split_sql(fractions: dict[str, float]) -> str:
+    """Deterministic hash-fraction split counts
+    (operators/sampling.hash_split): same md5 → Horner u ∈ [0,1) as the
+    KMV estimator, cumulative cuts in insertion order."""
+    total = sum(fractions.values())
+    items = list(fractions.items())
+    cum, whens = 0.0, []
+    for label, w in items[:-1]:
+        cum += w / total
+        whens.append(f"WHEN u < {cum!r} THEN '{label}'")
+    case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    return f"""
+    WITH h AS (
+      SELECT md5(CAST(event_id AS VARCHAR)) AS hh FROM events
+    ),
+    u AS (SELECT {_kmv_u('hh')} AS u FROM h)
+    SELECT {case} AS split, count(*) AS n
+    FROM u GROUP BY 1
+    """
