@@ -1600,6 +1600,63 @@ def hash_split_counts(spark, sf_dir):
 
 
 @register(
+    "funnel_view_click_purchase",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS step1_ts
+      FROM events
+    ), y AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND epoch(ts) > epoch(step1_ts)
+                       AND epoch(ts) <= epoch(step1_ts) + 86400.0 THEN ts END)
+               OVER (PARTITION BY user_id) AS step2_ts
+      FROM x
+    ), z AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'purchase' AND epoch(ts) > epoch(step2_ts)
+                       AND epoch(ts) <= epoch(step2_ts) + 86400.0 THEN ts END)
+               OVER (PARTITION BY user_id) AS step3_ts
+      FROM y
+    )
+    SELECT user_id AS conv_key,
+           min(step1_ts) AS step1_ts, min(step2_ts) AS step2_ts,
+           min(step3_ts) AS step3_ts,
+           CASE WHEN min(step3_ts) IS NOT NULL THEN 3
+                WHEN min(step2_ts) IS NOT NULL THEN 2
+                WHEN min(step1_ts) IS NOT NULL THEN 1
+                ELSE 0 END AS furthest_step
+    FROM z GROUP BY 1
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Funnel (operators/funnel.py): view → click → purchase, each step
+    within 1 day of the previous, earliest-completion (closed-funnel)
+    semantics — k chained window aggregates over ONE conversation
+    shuffle.  The oracle re-derives the identical chained-window form."""
+    from more_pattern_extraction_spark.operators.funnel import funnel_steps
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"), "ts", "event_type"
+    )
+    out = funnel_steps(
+        ev,
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within_s=86400,
+    )
+    return out.select(
+        F.col("conv_id").alias("conv_key"),
+        "step1_ts", "step2_ts", "step3_ts",
+        F.col("furthest_step").cast("int").alias("furthest_step"),
+    )
+
+
+@register(
     "deviation_windows",
     """
     WITH x AS (
