@@ -384,6 +384,132 @@ def interpolate_dense(
     return out.withColumn("gap_filled", any_filled).drop(*drop)
 
 
+def interpolate_runs(
+    rollup: DataFrame,
+    tier: str = "1m",
+    cols: list[str] | tuple[str, ...] = ("latency_avg",),
+    limit: int = 1,
+    with_locf: bool = True,
+) -> DataFrame:
+    """Densify + interpolate for a step-regular grid WITHOUT any window
+    over the dense grid — bit-identical to ``densify`` → count-coalesce →
+    ``interpolate`` (the r07 plain-path rewrite; equality property-tested
+    in tests/test_gapfill.py).
+
+    Physics: every fill decision (nearest non-null anchors, row-distance
+    limits) is a function of the SPARSE rollup rows only — on a regular
+    grid the dense row-position differences collapse to
+    ``(t − anchor_t)/step`` (the ``interpolate_dense`` observation).  So
+    the anchors are computed with two window sorts over the sparse rows
+    (one asc, one desc — |rollup| rows, not |grid|), and the dense grid is
+    then GENERATED: each sparse row owns the half-open run up to the next
+    sparse row and explodes it (day-split so no array exceeds one day of
+    buckets, and repartitioned by (conv, day) so a hot conversation's
+    spine spreads across tasks).  The old plain path instead left-joined
+    the spine and ran three window passes (row_number + forward + reverse
+    anchor scans) over the EXPLODED grid — ~370× more window-sorted rows
+    at 1m granularity with 0.27 % bucket occupancy (sf0.1 shape).
+
+    Anchor equivalence: dense-grid "last non-null strictly before p" hits
+    non-null values only at sparse positions, so for an observed row it is
+    the sparse-exclusive carry and for a generated gap row it is the
+    owning sparse row's inclusive carry; symmetrically the "next" anchor
+    of every row in run(r) is the first non-null strictly after r.  The
+    interpolation arithmetic keeps the plain path's exact bit pattern:
+    distances are exact small integers as doubles, numerator/denominator
+    association unchanged (same trick as ``interpolate_dense``).
+    """
+    step = _SECONDS[tier]
+    oc = "bucket_start"
+    cols = list(cols)
+    w_fwd = Window.partitionBy("conv_id").orderBy(oc)
+    w_prev_excl = w_fwd.rowsBetween(Window.unboundedPreceding, -1)
+    w_prev_incl = w_fwd.rowsBetween(Window.unboundedPreceding, 0)
+    w_next_excl = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc(oc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rollup_rest = [c for c in rollup.columns if c not in ("conv_id", oc)]
+    sp = rollup
+    for c in cols:
+        nn = F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.col(oc).alias("t"), F.col(c).alias("v")),
+        )
+        sp = (
+            sp.withColumn(f"_pe_{c}", F.last(nn, ignorenulls=True).over(w_prev_excl))
+            .withColumn(f"_pi_{c}", F.last(nn, ignorenulls=True).over(w_prev_incl))
+            .withColumn(f"_ne_{c}", F.last(nn, ignorenulls=True).over(w_next_excl))
+        )
+    sp = sp.withColumn("_tnext", F.lead(oc).over(w_fwd))
+    run_end = F.coalesce(
+        F.col("_tnext") - F.expr(f"interval {step} seconds"), F.col(oc)
+    )
+    days = sp.withColumn("_run_end", run_end).withColumn(
+        "_day",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col(oc)),
+                F.date_trunc("day", F.col("_run_end")),
+                F.expr("interval 1 day"),
+            )
+        ),
+    )
+    # a hot conversation's long runs spread across (conv, day) tasks
+    # BEFORE the ×(day/step) position fan-out — same rationale as
+    # bucket_spine
+    days = days.repartition("conv_id", "_day")
+    day_end = (
+        F.col("_day") + F.expr("interval 1 day") - F.expr(f"interval {step} seconds")
+    )
+    g = days.withColumn(
+        "_p",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col(oc), F.col("_day")),
+                F.least(F.col("_run_end"), day_end),
+                F.expr(f"interval {step} seconds"),
+            )
+        ),
+    )
+    is_first = F.col("_p") == F.col(oc)
+    p_sec = F.col("_p").cast("timestamp").cast("double")
+    out_cols = [F.col("conv_id"), F.col("_p").alias(oc)]
+    for c in rollup_rest:
+        e = F.when(is_first, F.col(c))
+        if c in ("turn_cnt", "tool_call_cnt"):
+            e = F.coalesce(e, F.lit(0))
+        out_cols.append(e.alias(c))
+    out_cols.append((~is_first).alias("is_gap"))
+    any_filled = F.lit(False)
+    fill_cols = []
+    for c in cols:
+        ap = F.when(is_first, F.col(f"_pe_{c}")).otherwise(F.col(f"_pi_{c}"))
+        an = F.col(f"_ne_{c}")
+        tp, vp, tn, vn = ap["t"], ap["v"], an["t"], an["v"]
+        d_prev = (p_sec - tp.cast("timestamp").cast("double")) / step
+        d_next = (tn.cast("timestamp").cast("double") - p_sec) / step
+        interp = (
+            F.when(
+                vp.isNotNull() & vn.isNotNull(),
+                vp + (vn - vp) * d_prev / (d_next + d_prev),
+            )
+            .when(vp.isNotNull(), vp)
+            .otherwise(vn)
+        )
+        in_limit = (tp.isNotNull() & (d_prev <= limit)) | (
+            tn.isNotNull() & (d_next <= limit)
+        )
+        val = F.when(is_first, F.col(c))
+        filled = F.when(val.isNotNull(), val).when(in_limit, interp)
+        fill_cols.append(filled.alias(f"{c}_filled"))
+        if with_locf:
+            fill_cols.append(F.coalesce(val, vp).alias(f"{c}_locf"))
+        any_filled = any_filled | (val.isNull() & filled.isNotNull())
+    return g.select(*out_cols, *fill_cols, any_filled.alias("gap_filled"))
+
+
 def locf(
     df: DataFrame,
     cols: list[str],
@@ -439,24 +565,43 @@ def gap_fill_rollup(
     one Spark job at plan-build time.
     """
     step = _SECONDS[tier]
+    # Materialize the sparse rollup once: the auto-gate probe, the spine
+    # bounds aggregate, the densify join's build side (and, on the dense
+    # path, the anchor summary + day spine) each reference this frame, and
+    # Spark plans are trees — every reference re-ran the whole upstream
+    # subtree (rollup aggregation included).  One MEMORY_AND_DISK persist
+    # turns 3-4 upstream evaluations into 1; the sparse tier is ~1 % of
+    # raw bytes at any scale, so the footprint is the cheap side of the
+    # trade.  Blocks are released by the ContextCleaner when the frame is
+    # garbage-collected.
+    from pyspark.storagelevel import StorageLevel
+
+    rollup = rollup.persist(StorageLevel.MEMORY_AND_DISK)
     if segment_rows == "auto":
+        # NTZ-safe: cast through timestamp before double (Spark 4 forbids
+        # TIMESTAMP_NTZ→double; session TZ is pinned UTC) — same pattern
+        # as interpolate_dense/sessions (ADVICE r06)
         mx = (
             rollup.groupBy("conv_id")
             .agg(
                 (
-                    (F.max("bucket_start").cast("double")
-                     - F.min("bucket_start").cast("double")) / F.lit(step)
+                    (F.max("bucket_start").cast("timestamp").cast("double")
+                     - F.min("bucket_start").cast("timestamp").cast("double"))
+                    / F.lit(step)
                 ).alias("_span")
             )
             .agg(F.max("_span"))
             .first()[0]
         )
         segment_rows = GRID_SEG_ROWS if (mx or 0) + 1 >= GRID_SEG_ROWS else None
-    dense = densify(rollup, tier)
-    dense = dense.withColumn("turn_cnt", F.coalesce("turn_cnt", F.lit(0))).withColumn(
-        "tool_call_cnt", F.coalesce("tool_call_cnt", F.lit(0))
-    )
     if segment_rows:
+        dense = densify(rollup, tier)
+        dense = dense.withColumn(
+            "turn_cnt", F.coalesce("turn_cnt", F.lit(0))
+        ).withColumn("tool_call_cnt", F.coalesce("tool_call_cnt", F.lit(0)))
         return interpolate_dense(dense, rollup, ["latency_avg"], limit=limit,
                                  step_s=step, with_locf=True)
-    return interpolate(dense, ["latency_avg"], limit=limit, with_locf=True)
+    # plain path: run-generation form — no window over the dense grid at
+    # all (see interpolate_runs; bit-equal to densify → interpolate)
+    return interpolate_runs(rollup, tier, ["latency_avg"], limit=limit,
+                            with_locf=True)

@@ -155,28 +155,33 @@ def corrected_matrix_profile(
         .withColumn("comp", F.sqrt(F.sum("_d2").over(comp_frame)))
         .select("conv_id", "pos", "comp")
     )
-    # min-max over MP positions only (the kernel normalizes over the l
-    # complete windows); join on the MP table restricts the range
-    scoped = mp.select("conv_id", "pos").join(comp, ["conv_id", "pos"])
-    rng = scoped.groupBy("conv_id").agg(
-        F.min("comp").alias("_lo"), F.max("comp").alias("_hi")
-    )
-    av = (
-        scoped.join(rng, "conv_id")
+    # ONE join attaches the complexity column, then per-conversation
+    # whole-partition windows derive the min-max range (over MP positions
+    # only — the inner join restricts comp to them, matching the kernel's
+    # normalization over the l complete windows) and the finite-MP max.
+    # The previous form referenced the ``mp`` frame from three places
+    # (scoped/mx/final join), and Spark plans are trees: each reference
+    # re-ran the whole STOMP applyInPandas subtree — only the Exchange
+    # below it was reused — so the kernel executed 3x per query (r07
+    # plan audit: 8 Python nodes, 26 Exchanges → 2 and 5).
+    wc = Window.partitionBy("conv_id")
+    j = mp.join(comp, ["conv_id", "pos"])
+    j = (
+        j.withColumn("_lo", F.min("comp").over(wc))
+        .withColumn("_hi", F.max("comp").over(wc))
         .withColumn(
-            "av",
-            F.when(F.col("_hi") - F.col("_lo") < 1e-13, F.lit(1.0)).otherwise(
-                (F.col("comp") - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
-            ),
+            "_mx",
+            F.max(F.when(F.col("mp") != float("inf"), F.col("mp"))).over(wc),
         )
-        .select("conv_id", "pos", "av")
     )
-    mx = mp.filter(F.col("mp") != float("inf")).groupBy("conv_id").agg(
-        F.max("mp").alias("_mx")
+    av = F.when(F.col("_hi") - F.col("_lo") < 1e-13, F.lit(1.0)).otherwise(
+        (F.col("comp") - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
     )
+    # _mx NULL ⟺ no finite mp row in the conversation ⟺ the old inner
+    # join against the filtered-aggregate mx dropped the conversation
     return (
-        mp.join(av, ["conv_id", "pos"])
-        .join(mx, "conv_id")
+        j.filter(F.col("_mx").isNotNull())
+        .withColumn("av", av)
         .withColumn("cmp", F.col("mp") + (1 - F.col("av")) * F.col("_mx"))
         .select("conv_id", "pos", "mp", "pi", "av", "cmp")
     )

@@ -125,20 +125,35 @@ def sketch_from_raw(
 def sketch_cascade(sk: DataFrame, to_tier: str) -> DataFrame:
     """Merge finer-tier sketches into a coarser tier — EXACTLY equal to
     building the sketch from raw at the coarse tier (per-value binning;
-    merge-identity pytest).  Shuffle: ≤ 512 rows per coarse bucket."""
+    merge-identity pytest).
+
+    ONE shuffle: group the child maps per coarse bucket (collect_list is
+    partial-aggregated, so the wire carries the same ≤ 512-entry maps the
+    old explode carried as rows, in fewer, wider rows), then fold them
+    with ``map_zip_with`` — a pure expression, no second exchange.  The
+    old explode → groupBy(bin) → groupBy(bucket) form paid two exchanges
+    per cascade hop because HashPartitioning(conv, bucket, bin) cannot
+    serve the (conv, bucket) re-pack.  Entry order is canonicalized by
+    sorting, and per-bin sums are order-independent, so the packed map is
+    bit-identical to the old form's."""
     unit = TIERS[to_tier]
-    exploded = sk.select(
+    grouped = sk.groupBy(
+        "conv_id", F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start")
+    ).agg(F.collect_list("latency_sketch").alias("_maps"))
+    merged = F.aggregate(
+        F.col("_maps"),
+        F.create_map().cast("map<int,bigint>"),
+        lambda acc, m: F.map_zip_with(
+            acc, m,
+            lambda _k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+        ),
+    )
+    return grouped.select(
         "conv_id",
-        F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
-        F.explode("latency_sketch").alias("bin", "cnt"),
-    )
-    merged = exploded.groupBy("conv_id", "bucket_start", "bin").agg(
-        F.sum("cnt").alias("cnt")
-    )
-    return merged.groupBy("conv_id", "bucket_start").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("bin", "cnt")))
-        ).alias("latency_sketch")
+        "bucket_start",
+        F.map_from_entries(F.array_sort(F.map_entries(merged))).alias(
+            "latency_sketch"
+        ),
     )
 
 

@@ -47,6 +47,19 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets min(advisory, max(total/parallelism,
+        # minPartitionSize)).  The default floor (1m) collapses byte-light
+        # but compute-dense shuffles (grouped-kernel UDFs, spine explodes,
+        # percentile aggregates) onto a handful of tasks — measured 4.8x
+        # on the mSTOMP stage at sf0.1.  A 16k floor restores parallelism
+        # for exactly those shuffles and is inert at scale, where
+        # total/parallelism >= advisory makes the floor unreachable.
+        # Parameterised for deployments whose scheduler overhead dominates
+        # small tasks.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("MPE_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
