@@ -67,6 +67,19 @@ def asof_join(
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (*on, right_ts)]
     left_rest = [c for c in left.columns if c not in on]
+    # suffixed output names colliding with existing left columns (e.g.
+    # re-enriching an already-enriched frame) would silently produce
+    # ambiguous/duplicate columns downstream — fail loudly instead
+    # (ADVICE r06 #5)
+    clash = sorted(
+        ({f"{c}{suffix}" for c in payload_cols} | {f"{right_ts}{suffix}"})
+        & set(left.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join: output column(s) {clash} already exist on the left "
+            f"frame — pass a different suffix (current: {suffix!r})"
+        )
 
     r_side = right.select(
         *on,

@@ -74,7 +74,12 @@ def spread_groups(df: DataFrame, *keys: str) -> DataFrame:
     regression test's 8-week hot conversation collapsed to 1 partition
     under column-only repartition).  A user-specified count disables
     coalescing for this exchange only; empty partitions are cheap."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # AQE-enabled platforms may hold a non-numeric value ("auto");
+        # fall back to the cluster's default parallelism (ADVICE r06 #4)
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(k) for k in keys])
 
 

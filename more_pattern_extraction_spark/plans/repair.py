@@ -94,6 +94,15 @@ def affected_units(
     spans = (
         merged_days.withColumn("prev_day", F.lag("ts_day").over(w))
         .withColumn("next_day", F.lead("ts_day").over(w))
+        # one more present day upward: the late turn changes its SUCCESSOR
+        # turn's lag latency, and when that successor is the last non-null
+        # anchor of next_day, LOCF carries (and interpolation anchored on
+        # it) propagate the changed value through the pure-gap run BEYOND
+        # next_day, up to the following anchor.  Anchor values after the
+        # successor are unchanged, so nothing escapes the next-NEXT
+        # present day (ADVICE r06 #1; tests/test_repair.py covers the
+        # single-anchor-day + multi-day-gap shape).
+        .withColumn("next2_day", F.lead("ts_day", 2).over(w))
         .join(late_days.select("conv_id", "ts_day"), ["conv_id", "ts_day"])
     )
     return (
@@ -102,7 +111,7 @@ def affected_units(
             F.explode(
                 F.sequence(
                     F.coalesce("prev_day", "ts_day"),
-                    F.coalesce("next_day", "ts_day"),
+                    F.coalesce("next2_day", "next_day", "ts_day"),
                     F.expr("interval 1 day"),
                 )
             ).alias("ts_day"),
@@ -184,11 +193,26 @@ def repair_late_turns(
         ).cache()
     n_units = units.count()
     if n_units == 0:  # everything outside the retention horizon
+        # still certify the merged snapshot: carry the prior snapshot's
+        # completed units forward under input_snapshot (the same
+        # arithmetic as the normal path with an empty repaired set) —
+        # otherwise a follow-up run_pipeline(resume=True) at the merged
+        # snapshot would recompute every unit from raw instead of
+        # no-opping (ADVICE r06 #3)
+        n_carried = 0
+        if prior_snapshot is not None:
+            carried = (
+                cp.completed(_PIPELINE_JOB, "1m")
+                .filter(F.col("input_snapshot") == prior_snapshot)
+                .select("conv_bucket", "ts_bucket")
+            )
+            n_carried = carried.count()
+            cp.commit(carried, _PIPELINE_JOB, "1m", input_snapshot)
         m = {
             "wall_s": time.time() - t0,
             "late_turns": float(late_turns.count()),
             "units_repaired": 0.0,
-            "units_carried": 0.0,
+            "units_carried": float(n_carried),
             "units_skipped_retention": float(n_all_units),
             "buckets_touched": 0.0,
         }

@@ -160,6 +160,18 @@ def drop_partitions_before(root: str, name: str, horizon: str) -> int:
                 if date.fromisoformat(td.split("=", 1)[1]) < hor:
                     shutil.rmtree(os.path.join(cb_path, td))
                     dropped += 1
+    if dropped:
+        # this deletion happens behind Spark's back (plain filesystem, no
+        # commit protocol) — invalidate any cached plans / file listings
+        # over the path, or a persisted frame built on this table keeps
+        # serving the dropped partitions for the rest of the session
+        # (an Iceberg DELETE invalidates via its snapshot; this is the
+        # Parquet-seam equivalent)
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.catalog.refreshByPath(base)
     return dropped
 
 

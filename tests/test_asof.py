@@ -71,3 +71,22 @@ def test_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_suffix_collision_raises(spark):
+    """ADVICE r06 #5: re-enriching a frame whose columns already carry the
+    suffixed output names must fail loudly, not silently collide."""
+    from pyspark.sql import functions as F
+
+    from more_pattern_extraction_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 1.0, 2.0)], "conv_id string, ts double, price_asof double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", 1.0, 3.0)], "conv_id string, ts double, price double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="price_asof"):
+        asof_join(left, right, on="conv_id")

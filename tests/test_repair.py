@@ -210,3 +210,66 @@ def test_repair_pattern_stage_equals_cold(spark, transcripts, split, tmp_path):
         for part, files in before[t].items():
             if part not in touched:
                 assert after.get(part) == files, f"{t}/{part} was rewritten"
+
+
+def test_locf_carry_past_next_day_is_repaired(spark, tmp_path):
+    """ADVICE r06 #1 regression: a late turn changes its successor's lag
+    latency; when that successor is the last (here: only) anchor of the
+    next present day and a multi-day pure gap follows, the changed value
+    LOCF-carries into grid days BEYOND next_day.  The affected-unit bound
+    must therefore extend one more present day (lead 2), and the repaired
+    filled table must equal a cold rerun bit-for-bit."""
+    rows = [
+        ("c1", 0, "user", "t", None, "2024-01-01 10:00:00"),
+        ("c1", 1, "user", "t", None, "2024-01-01 12:00:00"),  # the late turn
+        ("c1", 2, "user", "t", None, "2024-01-03 10:00:00"),  # only anchor of next day
+        ("c1", 3, "user", "t", None, "2024-01-06 10:00:00"),  # after a >=2-day pure gap
+    ]
+    merged = spark.createDataFrame(
+        [(c, i, r, x, tl, __import__("datetime").datetime.fromisoformat(ts))
+         for c, i, r, x, tl, ts in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    pred = F.col("turn_idx") == 1
+    late, ontime = merged.filter(pred), merged.filter(~pred)
+
+    units = {
+        str(r["ts_day"]) for r in affected_units(merged, late, 4).collect()
+    }
+    # the carry run beyond next_day (2024-01-04/05) and its closing anchor
+    # day must be inside the repair scope
+    assert {"2024-01-04", "2024-01-05", "2024-01-06"} <= units
+
+    cold, out = str(tmp_path / "cold"), str(tmp_path / "out")
+    run_pipeline(spark, merged, cold, input_snapshot="s_full", n_buckets=4)
+    run_pipeline(spark, ontime, out, input_snapshot="s_ontime", n_buckets=4)
+    repair_late_turns(spark, merged, late, out,
+                      input_snapshot="s_merged", prior_snapshot="s_ontime",
+                      n_buckets=4)
+    for t in TABLES:
+        assert _table_digest(spark, out, t) == _table_digest(spark, cold, t), t
+
+
+def test_repair_all_outside_retention_still_certifies(spark, transcripts, tmp_path):
+    """ADVICE r06 #3 regression: when every late unit is outside the
+    retention horizon the early return must still carry the prior
+    snapshot's completed units forward under the merged snapshot, so a
+    follow-up resume is a no-op instead of a full recompute."""
+    # mid-range horizon: the short conv_00003 (span ~a day from the fixture
+    # start) falls entirely before it — every late unit is skipped — while
+    # the hot conversation keeps post-horizon units so the tier tables stay
+    # non-empty
+    horizon = "2024-01-05 00:00:00"
+    ret = {"1m": horizon}
+    pred = (F.col("conv_id") == "conv_00003") & (F.col("turn_idx") == 2)
+    late, ontime = transcripts.filter(pred), transcripts.filter(~pred)
+    out = str(tmp_path / "out")
+    run_pipeline(spark, ontime, out, input_snapshot="so", n_buckets=8,
+                 retention=ret)
+    m = repair_late_turns(spark, transcripts, late, out, input_snapshot="sm",
+                          prior_snapshot="so", n_buckets=8, retention=ret)
+    assert m["units_repaired"] == 0
+    assert m["units_carried"] > 0
+    m2 = run_pipeline(spark, transcripts, out, input_snapshot="sm",
+                      n_buckets=8, retention=ret)
+    assert m2["units_done"] == 0
