@@ -46,6 +46,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: per-key row count above which the ordered window is a skew hazard —
+#: shared bound with rollup.LAG_SEG_ROWS (one conversation on one task)
+ASOF_SEG_ROWS = 100_000
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -55,6 +60,8 @@ def asof_join(
     payload_cols: list[str] | None = None,
     tolerance_s: int | None = None,
     suffix: str = "_asof",
+    seg_rows: int | str | None = "auto",
+    segment: str = "day",
 ) -> DataFrame:
     """Backward-inclusive as-of left join (module docstring).
 
@@ -62,6 +69,27 @@ def asof_join(
     ``c{suffix}`` (NULL when no right row precedes the left row — or
     none within ``tolerance_s``) and ``{right_ts}{suffix}`` (the matched
     right timestamp).
+
+    **Skew (``seg_rows``, default ``"auto"``)**: the plain form sorts a
+    key's ENTIRE union stream on one task (the r06 skew harness measured
+    59.9 s vs 8.4 s uniform on a 91 %-hot input).  Above the threshold
+    the windows are segmented per (key, ``date_trunc(segment)``) — a hot
+    key's sort spreads across its days — and the one cross-segment value
+    each segment needs (the previous segments' last non-null payload,
+    PER COLUMN, matching the running ``last ignorenulls``) is carried
+    via a per-(key, segment) summary: one row per segment, windowed over
+    segments (tiny), joined back on (key, segment), which never
+    hot-keys.  Values are exactly the plain form's — within a key
+    ordered by (ts, side), the last non-null occurrence of a column in
+    the preceding segments IS the value the running window would carry
+    into the segment (bit-equal property test, tests/test_asof.py).
+    ``"auto"`` probes the exact witness (max per-key row count, one
+    pruned aggregate — plans/partitioning.max_group_rows) and only pays
+    the segmented premium when a key actually crosses the threshold; an
+    explicit int forces segmentation, ``None`` forces plain.  Eager
+    caveat: "auto" runs one Spark job at plan-build time.  Limitation:
+    a key with > ``seg_rows`` rows inside a single ``segment`` bucket
+    still serializes that bucket (pick a finer ``segment`` then).
     """
     on = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
@@ -105,15 +133,70 @@ def asof_join(
     )
     u = r_side.unionByName(l_side)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched_ts = F.last("_rts", ignorenulls=True).over(w)
-    filled = {
-        c: F.last(f"{c}{suffix}", ignorenulls=True).over(w) for c in payload_cols
-    }
+    if seg_rows == "auto":
+        from more_pattern_extraction_spark.plans.partitioning import max_group_rows
+
+        mx = max(max_group_rows(left, *on), max_group_rows(right, *on))
+        seg_rows = ASOF_SEG_ROWS if mx >= ASOF_SEG_ROWS else None
+
+    if seg_rows:
+        blk = F.date_trunc(segment, F.col("_ts"))
+        u = u.withColumn("_blk", blk)
+        fill_src = ["_rts", *[f"{c}{suffix}" for c in payload_cols]]
+        # per-(key, segment) last non-null occurrence of each carried
+        # column, in (ts, side) order — max_by ignores rows whose
+        # ordering struct is NULL, i.e. rows where the column is null
+        summ = u.groupBy(*on, "_blk").agg(
+            *[
+                F.max_by(
+                    F.col(c),
+                    F.when(F.col(c).isNotNull(), F.struct("_ts", "_side")),
+                ).alias(f"_bl_{c}")
+                for c in fill_src
+            ]
+        )
+        w_blk = (
+            Window.partitionBy(*on)
+            .orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summ = summ.select(
+            *on,
+            "_blk",
+            *[
+                F.last(f"_bl_{c}", ignorenulls=True)
+                .over(w_blk)
+                .alias(f"_carry_{c}")
+                for c in fill_src
+            ],
+        )
+        u = u.join(summ, [*on, "_blk"])
+        w = (
+            Window.partitionBy(*on, "_blk")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched_ts = F.coalesce(
+            F.last("_rts", ignorenulls=True).over(w), F.col("_carry__rts")
+        )
+        filled = {
+            c: F.coalesce(
+                F.last(f"{c}{suffix}", ignorenulls=True).over(w),
+                F.col(f"_carry_{c}{suffix}"),
+            )
+            for c in payload_cols
+        }
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched_ts = F.last("_rts", ignorenulls=True).over(w)
+        filled = {
+            c: F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+            for c in payload_cols
+        }
     if tolerance_s is not None:
         fresh = matched_ts >= (
             F.col("_ts") - F.expr(f"INTERVAL {int(tolerance_s)} SECONDS")

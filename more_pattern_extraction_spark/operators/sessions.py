@@ -27,29 +27,112 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: per-conversation row count above which the ordered window is a skew
+#: hazard — shared bound with rollup.LAG_SEG_ROWS
+SESS_SEG_ROWS = 100_000
+
+
 def sessionize(
     turns: DataFrame,
     gap_s: int = 1800,
     conv_col: str = "conv_id",
     ts_col: str = "ts",
     tie_cols: tuple[str, ...] = (),
+    seg_rows: int | str | None = "auto",
+    segment: str = "day",
 ) -> DataFrame:
     """Add ``session_idx`` (1-based per conversation) and ``is_session_start``.
 
     ``tie_cols`` break ordering ties at equal timestamps (determinism —
-    pass the row id when timestamps can collide)."""
-    w = Window.partitionBy(conv_col).orderBy(ts_col, *tie_cols)
-    prev_ts = F.lag(ts_col).over(w)
-    # NTZ sources: cast through timestamp before double (Spark 4 forbids
-    # the direct cast; session TZ is pinned UTC so this equals epoch())
-    gap = (F.col(ts_col).cast("timestamp").cast("double")
-           - prev_ts.cast("timestamp").cast("double"))
-    new_sess = (prev_ts.isNull() | (gap > gap_s)).cast("int")
-    run = Window.partitionBy(conv_col).orderBy(ts_col, *tie_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    pass the row id when timestamps can collide).
+
+    **Skew (``seg_rows``, default ``"auto"``)**: the plain form's lag +
+    running sum sort a conversation's entire stream on one task (r06
+    skew harness: 26.8 s vs 4.9 s uniform on a 91 %-hot input).  Above
+    the threshold the session index becomes a BLOCK-CARRY PREFIX SUM
+    over (conv, ``date_trunc(segment)``) blocks: row-level windows sort
+    within a block only; a per-(conv, block) summary carries (a) the
+    previous block's last timestamp — the lag seed for the block's first
+    row — and (b) the running count of session starts in all previous
+    blocks, added to the in-block running sum.  The block boundary-flag
+    is decided at the summary level from (first_ts − prev block last_ts),
+    which is exactly the row-level lag the plain form computes, so
+    ``session_idx``/``is_session_start`` are bit-equal (property test,
+    tests/test_sessions.py).  ``"auto"`` probes the exact witness (max
+    per-conv row count); explicit int forces segmentation, ``None``
+    forces plain.  Eager caveat: "auto" runs one job at plan-build time.
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    if seg_rows == "auto":
+        from more_pattern_extraction_spark.plans.partitioning import max_group_rows
+
+        mx = max_group_rows(turns, conv_col)
+        seg_rows = SESS_SEG_ROWS if mx >= SESS_SEG_ROWS else None
+
+    if not seg_rows:
+        w = Window.partitionBy(conv_col).orderBy(ts_col, *tie_cols)
+        prev_ts = F.lag(ts_col).over(w)
+        # NTZ sources: cast through timestamp before double (Spark 4
+        # forbids the direct cast; session TZ is pinned UTC so this
+        # equals epoch())
+        gap = (sec - prev_ts.cast("timestamp").cast("double"))
+        new_sess = (prev_ts.isNull() | (gap > gap_s)).cast("int")
+        run = Window.partitionBy(conv_col).orderBy(ts_col, *tie_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return turns.withColumn(
+            "is_session_start", new_sess.cast("boolean")
+        ).withColumn("session_idx", F.sum(new_sess).over(run))
+
+    blk = F.date_trunc(segment, F.col(ts_col))
+    t = turns.withColumn("_blk", blk)
+    wb = Window.partitionBy(conv_col, "_blk").orderBy(ts_col, *tie_cols)
+    run_b = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_in = F.lag(ts_col).over(wb)
+    gap_in = sec - prev_in.cast("timestamp").cast("double")
+    # flags decidable inside the block (rows with an in-block predecessor)
+    flag_in = F.when(prev_in.isNotNull(), (gap_in > gap_s).cast("int"))
+
+    # per-(conv, block) summary: first/last ts + count of in-block flags
+    # (the windowed flag is materialized as a column first — a Window node
+    # below the aggregate; ordering by (ts, ties) means first_ts = min(ts)
+    # and last_ts = max(ts)).  This second pass over the rows is the
+    # gated-path premium.
+    summ = (
+        t.withColumn("_fi", flag_in)
+        .groupBy(conv_col, "_blk")
+        .agg(
+            F.min(ts_col).alias("_first_ts"),
+            F.max(ts_col).alias("_last_ts"),
+            F.sum("_fi").alias("_flags_in"),
+        )
     )
-    return turns.withColumn("is_session_start", new_sess.cast("boolean")).withColumn(
-        "session_idx", F.sum(new_sess).over(run)
+    w_blk = Window.partitionBy(conv_col).orderBy("_blk")
+    prev_last = F.lag("_last_ts").over(w_blk)
+    first_gap = (
+        F.col("_first_ts").cast("timestamp").cast("double")
+        - prev_last.cast("timestamp").cast("double")
+    )
+    first_flag = (prev_last.isNull() | (first_gap > gap_s)).cast("int")
+    summ = summ.withColumn("_first_flag", first_flag).withColumn(
+        "_blk_total", F.coalesce(F.col("_flags_in"), F.lit(0)) + F.col("_first_flag")
+    )
+    cum_before = (
+        F.sum("_blk_total")
+        .over(w_blk.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    summ = summ.select(
+        conv_col,
+        "_blk",
+        "_first_flag",
+        F.coalesce(cum_before, F.lit(0)).alias("_cum_before"),
+    )
+    t = t.join(summ, [conv_col, "_blk"])
+    flag = F.coalesce(flag_in, F.col("_first_flag"))
+    return (
+        t.withColumn("is_session_start", flag.cast("boolean"))
+        .withColumn("session_idx", F.col("_cum_before") + F.sum(flag).over(run_b))
+        .drop("_blk", "_first_flag", "_cum_before")
     )
 
 

@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def max_group_rows(df: DataFrame, *keys: str) -> int:
+    """Exact hot-key witness: the largest per-key row count.  One
+    column-pruned partial-aggregated pass over the key columns — the
+    cheap probe the ``seg_rows="auto"`` gates run before choosing the
+    skew-insured plan (same policy as rollup.turn_features /
+    gapfill.gap_fill_rollup: don't pre-pay the segmented form's premium
+    on uniform data, detect the hazard with an exact witness instead)."""
+    row = df.groupBy(*[F.col(k) for k in keys]).count().agg(
+        F.max("count")
+    ).first()
+    return int(row[0] or 0)
+
+
 def hot_keys(df: DataFrame, key: str = "conv_id", threshold: int = 100_000) -> DataFrame:
     """Conversations whose row count exceeds the per-task budget."""
     return df.groupBy(key).count().filter(F.col("count") > threshold).select(key)

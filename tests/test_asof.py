@@ -90,3 +90,42 @@ def test_suffix_collision_raises(spark):
 
     with _pytest.raises(ValueError, match="price_asof"):
         asof_join(left, right, on="conv_id")
+
+
+def test_segmented_equals_plain(spark):
+    """Property: the (key, day)-segmented block-carry form is bit-equal to
+    the single-window plain form — multi-day spread, NULL payload values
+    (per-column ignorenulls carry), equal-timestamp right/left rows, and
+    keys whose whole history sits in one block."""
+    import random
+
+    rng = random.Random(7)
+    keys = ["a", "b", "c"]
+    left_rows, right_rows = [], []
+    for k in keys:
+        for _ in range(40):
+            ts = T0 + dt.timedelta(minutes=rng.randrange(0, 5 * 1440))
+            left_rows.append((k, ts, rng.randrange(1000)))
+        seen = set()
+        for _ in range(25):
+            ts = T0 + dt.timedelta(minutes=rng.randrange(0, 5 * 1440))
+            if (k, ts) in seen:
+                continue
+            seen.add((k, ts))
+            val = None if rng.random() < 0.3 else f"v{rng.randrange(100)}"
+            aux = None if rng.random() < 0.5 else float(rng.randrange(10))
+            right_rows.append((k, ts, val, aux))
+    # one key entirely inside a single day (degenerate-block case)
+    left_rows.append(("z", _m(3), 999))
+    right_rows.append(("z", _m(1), "zv", 1.0))
+    left = spark.createDataFrame(left_rows, ["k", "ts", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "state", "aux"])
+
+    def run(**kw):
+        out = asof_join(left, right, on="k", **kw)
+        return sorted(map(tuple, out.collect()))
+
+    for tol in (None, 3600):
+        plain = run(seg_rows=None, tolerance_s=tol)
+        seg = run(seg_rows=1, tolerance_s=tol)
+        assert plain == seg

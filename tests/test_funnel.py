@@ -75,3 +75,27 @@ def test_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1  # chained windows reuse the shuffle
+
+
+def test_segmented_equals_plain(spark):
+    """Property: the gated iterative-aggregate form is value-equal to the
+    chained whole-partition-window form, with and without the
+    consecutive-step gap bound."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for c in range(20):
+        for _ in range(30):
+            rows.append(
+                (f"c{c}", T0 + dt.timedelta(minutes=rng.randrange(0, 2000)),
+                 rng.choice(["view", "click", "buy", "other"]))
+            )
+    df = spark.createDataFrame(rows, ["conv_id", "ts", "event_type"])
+
+    def run(seg, within):
+        out = funnel_steps(df, _steps(), within_s=within, seg_rows=seg)
+        return sorted(map(tuple, out.collect()))
+
+    for within in (None, 600):
+        assert run(None, within) == run(1, within)

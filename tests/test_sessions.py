@@ -63,3 +63,30 @@ def test_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1  # both window passes share one shuffle
+
+
+def test_segmented_equals_plain(spark):
+    """Property: the (conv, day) block-carry prefix-sum form is bit-equal
+    to the plain running-sum form — session boundaries crossing midnight,
+    blocks with a single row, timestamp ties broken by tie_cols, and a
+    conversation entirely inside one block."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for c in ("a", "b", "c"):
+        t = T0
+        for i in range(120):
+            # gaps from seconds to half a day: plenty of session splits
+            # and multi-day spread; occasional exact ties
+            step = rng.choice([5, 60, 900, 1900, 7200, 40000, 0])
+            t = t + dt.timedelta(seconds=step)
+            rows.append((c, t, i))
+    rows.append(("z", T0 + dt.timedelta(minutes=3), 0))  # single-row conv
+    df = spark.createDataFrame(rows, ["conv_id", "ts", "event_id"])
+
+    def run(seg):
+        out = sessionize(df, gap_s=1800, tie_cols=("event_id",), seg_rows=seg)
+        return sorted(map(tuple, out.collect()))
+
+    assert run(None) == run(1)
