@@ -159,11 +159,13 @@ def corrected_matrix_profile(
     # whole-partition windows derive the min-max range (over MP positions
     # only — the inner join restricts comp to them, matching the kernel's
     # normalization over the l complete windows) and the finite-MP max.
-    # The previous form referenced the ``mp`` frame from three places
-    # (scoped/mx/final join), and Spark plans are trees: each reference
-    # re-ran the whole STOMP applyInPandas subtree — only the Exchange
-    # below it was reused — so the kernel executed 3x per query (r07
-    # plan audit: 8 Python nodes, 26 Exchanges → 2 and 5).
+    # The previous form referenced the ``mp`` frame through four subtree
+    # copies (the scoped frame fed both the min-max aggregate and the av
+    # projection, plus the finite-max aggregate and the final join), and
+    # Spark plans are trees: each copy re-ran the whole STOMP
+    # applyInPandas subtree — only the Exchange below it was reused — so
+    # the kernel executed 4x per query (r07 plan audit: 4 -> 1
+    # FlatMapGroupsInPandas nodes, 13 -> 4 Exchanges).
     wc = Window.partitionBy("conv_id")
     j = mp.join(comp, ["conv_id", "pos"])
     j = (

@@ -137,9 +137,18 @@ def sketch_cascade(sk: DataFrame, to_tier: str) -> DataFrame:
     sorting, and per-bin sums are order-independent, so the packed map is
     bit-identical to the old form's."""
     unit = TIERS[to_tier]
-    grouped = sk.groupBy(
-        "conv_id", F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start")
-    ).agg(F.collect_list("latency_sketch").alias("_maps"))
+    # NULL/empty child sketches (a tier row whose bucket had no non-null
+    # latencies gets a NULL map from attach_sketch_p95's left join) must
+    # not produce a coarse row — the old explode form dropped them
+    # implicitly (explode of NULL/empty emits no rows), the grouped form
+    # needs the explicit filter (size(NULL) is -1, so > 0 covers both)
+    grouped = (
+        sk.filter(F.size("latency_sketch") > 0)
+        .groupBy(
+            "conv_id", F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start")
+        )
+        .agg(F.collect_list("latency_sketch").alias("_maps"))
+    )
     merged = F.aggregate(
         F.col("_maps"),
         F.create_map().cast("map<int,bigint>"),
